@@ -1,0 +1,199 @@
+"""User-facing model API.
+
+:class:`MRAModel` is the TPU-native interface: plan once, then evaluate the
+differentiable likelihood / posterior for any kernel hyper-parameters without
+re-planning (the reference rebuilds the whole tree per likelihood evaluation
+— README.md:96-105, SURVEY §3.3).
+
+:class:`MRATree` is an API-compatibility facade mirroring the reference
+constructor and accessors (pyMRA/MRATree.py:23-94): ``MRATree(locs, r, cov,
+obs, R, M, J, critDepth)``, ``getLikelihood()``, ``predict()``. ``critDepth``
+(the reference's fork-parallelism switch, MRANode.py:64-116) is accepted and
+ignored: parallelism here comes from the device mesh, not process forks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pymra_tpu.tree.plan import PlanConfig, TreePlan, build_plan
+from pymra_tpu.tree.sweep import (
+    DevicePlan,
+    SweepResult,
+    make_device_plan,
+    mra_sweep,
+)
+
+__all__ = ["MRAModel", "MRATree"]
+
+
+def _wrap_cov(cov) -> Callable:
+    """Make an arbitrary covariance callable jit-traceable as an argument."""
+    treedef = jax.tree_util.tree_structure(cov)
+    if jax.tree_util.treedef_is_leaf(treedef):
+        # a bare function/lambda (the reference's covariance-lambda style,
+        # README.md:98) — wrap so jit treats it as a static callable
+        return jax.tree_util.Partial(cov)
+    return cov  # already a parameterized pytree (e.g. kernels.Kernel)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_posterior", "jitter"))
+def _sweep_jit(dplan, covfn, y, r_diag, compute_posterior, jitter):
+    return mra_sweep(
+        dplan, covfn, y, r_diag,
+        compute_posterior=compute_posterior, jitter=jitter,
+    )
+
+
+class MRAModel:
+    """A planned MRA model over a fixed set of locations.
+
+    Args:
+      locs: ``[N, d]`` locations (1-D inputs may be ``[N]``).
+      r: knots per interior node.
+      M, J: resolutions / branching factor; defaults derived as in the
+        reference (pyMRA/MRATree.py:31-50; 1-D default-J bug fixed).
+      dtype: device dtype (float32 default; tests use x64 on CPU).
+      jitter: Cholesky diagonal regularization. ``None`` selects 0 for
+        float64 and 1e-6 for float32.
+      seed / config: planner determinism and thresholds
+        (:class:`pymra_tpu.tree.plan.PlanConfig`).
+    """
+
+    def __init__(self, locs, r: int, *, M: int = -1, J: int = -1,
+                 seed: int = 0, dtype=None, jitter: float | None = None,
+                 config: PlanConfig | None = None,
+                 plan: TreePlan | None = None):
+        if plan is None:
+            plan = build_plan(locs, r, M=M, J=J, seed=seed, config=config)
+        self.plan = plan
+        if dtype is None:
+            dtype = (jnp.float64 if jax.config.jax_enable_x64
+                     else jnp.float32)
+        self.dtype = dtype
+        if jitter is None:
+            jitter = 0.0 if dtype == jnp.float64 else 1e-6
+        self.jitter = float(jitter)
+        self.dplan: DevicePlan = make_device_plan(plan, dtype=dtype)
+
+    # -- core evaluations ---------------------------------------------------
+
+    def sweep(self, cov, y, R, compute_posterior: bool = True) -> SweepResult:
+        """Run the full batched sweep (likelihood + posterior moments)."""
+        return _sweep_jit(
+            self.dplan, _wrap_cov(cov), jnp.asarray(y).ravel(), R,
+            compute_posterior, self.jitter,
+        )
+
+    def objective(self, cov, y, R) -> jnp.ndarray:
+        """The reference's ``getLikelihood()`` value: ``logdet + quadratic``
+        minimization objective (= -2 loglik - n_obs log 2pi), pyMRA/
+        MRATree.py:82-84."""
+        return self.sweep(cov, y, R, compute_posterior=False).objective
+
+    def loglik(self, cov, y, R) -> jnp.ndarray:
+        """Proper marginal log-density of the observed data (new in this
+        framework; the reference only exposes the objective — SURVEY quirk
+        #7)."""
+        return self.sweep(cov, y, R, compute_posterior=False).loglik
+
+    def posterior(self, cov, y, R):
+        """Posterior mean and pointwise sd at every location."""
+        res = self.sweep(cov, y, R, compute_posterior=True)
+        return res.mean, jnp.sqrt(jnp.maximum(res.var, 0.0))
+
+    def loglik_fn(self, y, R, kernel_builder: Callable | None = None):
+        """Return ``theta -> loglik`` for gradient-based inference.
+
+        ``kernel_builder(theta)`` maps a parameter pytree to a covariance
+        callable; defaults to treating ``theta`` itself as the covariance
+        (e.g. a :class:`pymra_tpu.kernels.Kernel` pytree).
+        """
+        y = jnp.asarray(y).ravel()
+
+        def fn(theta):
+            cov = kernel_builder(theta) if kernel_builder else theta
+            return mra_sweep(
+                self.dplan, cov, y, R,
+                compute_posterior=False, jitter=self.jitter,
+            ).loglik
+
+        return fn
+
+    # -- tree telemetry (reference MRATree.py:136-157) ----------------------
+
+    def leaf_sizes(self) -> np.ndarray:
+        return self.plan.leaf_sizes()
+
+    def describe(self) -> str:
+        return self.plan.describe()
+
+
+class MRATree:
+    """Drop-in style facade over :class:`MRAModel` mirroring the reference
+    ``MRATree`` (pyMRA/MRATree.py:23-94).
+
+    Differences by design (each a reference bug/limitation per SURVEY):
+      * deterministic, seeded planning (quirk #5);
+      * ``critDepth`` accepted but ignored — use the mesh API in
+        :mod:`pymra_tpu.parallel` for multi-chip execution (quirk #14);
+      * ``predict`` returns ``(mean [N, 1], sd [N])`` exactly like the
+        reference's (np.matrix, ndarray) shape asymmetry, minus np.matrix.
+    """
+
+    def __init__(self, locs, r, cov, obs, R, M=-1, J=-1, critDepth=-1,
+                 verbose: bool = False, seed: int = 0, dtype=None):
+        del critDepth, verbose
+        self.model = MRAModel(locs, r, M=M, J=J, seed=seed, dtype=dtype)
+        self.cov = cov
+        self.obs = jnp.asarray(np.asarray(obs, dtype=np.float64).ravel())
+        self.R = R
+        self._result: SweepResult | None = None
+
+    # Reference naming kept for familiarity.
+    @property
+    def M(self):
+        return self.model.plan.M
+
+    @property
+    def J(self):
+        return self.model.plan.J
+
+    @property
+    def r(self):
+        return self.model.plan.r
+
+    def _compute(self) -> SweepResult:
+        if self._result is None:
+            self._result = self.model.sweep(self.cov, self.obs, self.R)
+        return self._result
+
+    def getLikelihood(self) -> float:
+        """Reference semantics (MRATree.py:82-84): ``logdet(Sigma_y) +
+        y^T Sigma_y^{-1} y`` — a minimization objective, not a log-pdf."""
+        return float(self._compute().objective)
+
+    def getLogLik(self) -> float:
+        """The actual marginal log-likelihood (new capability)."""
+        return float(self._compute().loglik)
+
+    def predict(self):
+        res = self._compute()
+        mean = np.asarray(res.mean).reshape(-1, 1)
+        sd = np.sqrt(np.maximum(np.asarray(res.var), 0.0))
+        return mean, sd
+
+    # -- leaf telemetry (reference MRATree.py:136-157) ----------------------
+
+    def avgLeafSize(self) -> float:
+        return float(self.model.leaf_sizes().mean())
+
+    def minLeaf(self) -> int:
+        return int(self.model.leaf_sizes().min())
+
+    def maxLeaf(self) -> int:
+        return int(self.model.leaf_sizes().max())

@@ -1,0 +1,464 @@
+"""Device-side batched MRA sweep: likelihood + posterior moments.
+
+This module is the TPU-native replacement of the reference's recursive
+numeric engine (pyMRA/MRANode.py:378-523). Where the reference walks a
+Python tree node-by-node — composing covariance lambdas downward
+(MRANode.py:73-80) and passing pickled messages upward — here every tree
+level is one batch: all nodes of a level are processed by the same einsum /
+Cholesky / triangular-solve, vmap-style, so the MXU sees a handful of large
+batched matmuls per level instead of thousands of tiny Python-dispatched
+ones.
+
+Mathematical mapping (Katzfuss 2017 notation; reference symbols in
+parentheses):
+
+  * conditional covariance chain: the reference composes closures
+    ``cov_ch = cov - C k C^T`` down the tree (MRANode.py:73-80). We instead
+    expand the recursion: for points ``s`` in a node at level ``m`` with
+    ancestor knots ``Q_j`` (level ``j``),
+
+        Sigma_m(s, t) = Sigma(s, t) - sum_{j<m} W_j(s) K_j^{-1} W_j(t)^T
+
+    where ``W_j(s) = Sigma_j(s, Q_j)`` (= rows of ancestor j's ``B``) and
+    ``K_j = Sigma_j(Q_j, Q_j)`` (the reference's ``kInv`` — prior weight
+    precision, naming inverted per SURVEY quirk #11). With whitened factors
+    ``Y_j = L_j^{-1} W_j^T`` (``L_j = chol K_j``) all downdates are
+    ``Y^T Y`` matmuls — numerically stable, no explicit inverses
+    (replacing np.linalg.inv at MRANode.py:387,444,445).
+
+  * upward pass: leaves form ``A[k][l] = B_k^T H^T R^-1 H B_l`` and
+    ``omega[k] = B_k^T H^T R^-1 y`` (MRANode.py:411-430); interior nodes sum
+    children (:432-440); each node factors ``K + A_own`` once and downdates
+    the remaining blocks (:474-480). Here A/omega are stored stacked over
+    the ancestor axis (shape ``[nodes, S, S]`` with ``S = sum of ancestor
+    block widths``), children are aggregated with one ``segment_sum`` per
+    level, and the likelihood increments are log-Cholesky sums — fixing the
+    raw-determinant overflow at MRANode.py:463 (SURVEY quirk #9).
+
+  * downward pass: posterior mean/sd at every location. The reference
+    scatters child moments into parents during construction
+    (MRANode.py:509-520); here each leaf replays its ancestor path,
+    performing the ``BTil`` downdates (MRANode.py:485-495) on a per-leaf
+    stacked basis ``T`` and accumulating each level's contribution
+    ``T_own K~ omega_own`` (mean) and ``rownorm(T_own K~^{1/2})^2`` (var).
+
+Shapes: ``r`` knots per interior node, leaf padding ``P`` per leaf level,
+stack width ``S_m = m*r`` for the ancestor head. All shapes are static; the
+level loop is a Python loop unrolled by ``jit`` (M <= ~10).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import solve_triangular
+
+from pymra_tpu.tree.plan import TreePlan
+
+__all__ = ["DeviceLevel", "DevicePlan", "SweepResult", "make_device_plan",
+           "mra_sweep", "LOG2PI"]
+
+LOG2PI = float(np.log(2.0 * np.pi))
+
+
+class DeviceLevel(NamedTuple):
+    """Static per-level arrays on device (see plan.LevelGroup)."""
+
+    int_knots: jnp.ndarray  # [n_int, r, d] knot coordinates
+    int_path: jnp.ndarray  # [n_int, level]
+    int_parent: jnp.ndarray  # [n_int]
+    leaf_locs: jnp.ndarray  # [n_leaf, P, d]
+    leaf_loc_gidx: jnp.ndarray  # [n_leaf, P] (pad = N)
+    leaf_loc_mask: jnp.ndarray  # [n_leaf, P]
+    leaf_is_knot: jnp.ndarray  # [n_leaf, P]
+    leaf_path: jnp.ndarray  # [n_leaf, level]
+    leaf_parent: jnp.ndarray  # [n_leaf]
+
+
+@jax.tree_util.register_pytree_node_class
+class DevicePlan:
+    """Device-resident static plan. The index/coordinate arrays are pytree
+    leaves; the integer metadata (N, r, M) is static aux data so jitted
+    sweeps see concrete shapes."""
+
+    def __init__(self, levels: tuple[DeviceLevel, ...], n_locs: int, r: int,
+                 M: int):
+        self.levels = tuple(levels)
+        self.n_locs = int(n_locs)
+        self.r = int(r)
+        self.M = int(M)
+
+    def tree_flatten(self):
+        return (self.levels,), (self.n_locs, self.r, self.M)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def make_device_plan(plan: TreePlan, dtype=jnp.float32) -> DevicePlan:
+    """Upload a host :class:`TreePlan` as static device arrays.
+
+    Coordinates are pre-gathered per node (locations are fixed per plan), so
+    the sweep never indexes the global location array for covariance
+    evaluation. Padded leaf slots point at location 0 and are masked.
+    """
+    locs = np.asarray(plan.locs)
+    n = len(locs)
+    levels = []
+    for g in plan.levels:
+        ik = locs[g.int_knot_gidx] if g.n_int else np.zeros((0, plan.r, locs.shape[1]))
+        safe_gidx = np.minimum(g.leaf_loc_gidx, n - 1)
+        ll = locs[safe_gidx] if g.n_leaf else np.zeros((0, 0, locs.shape[1]))
+        levels.append(
+            DeviceLevel(
+                int_knots=jnp.asarray(ik, dtype=dtype),
+                int_path=jnp.asarray(g.int_path, dtype=jnp.int32),
+                int_parent=jnp.asarray(g.int_parent, dtype=jnp.int32),
+                leaf_locs=jnp.asarray(ll, dtype=dtype),
+                leaf_loc_gidx=jnp.asarray(g.leaf_loc_gidx, dtype=jnp.int32),
+                leaf_loc_mask=jnp.asarray(g.leaf_loc_mask),
+                leaf_is_knot=jnp.asarray(g.leaf_is_knot),
+                leaf_path=jnp.asarray(g.leaf_path, dtype=jnp.int32),
+                leaf_parent=jnp.asarray(g.leaf_parent, dtype=jnp.int32),
+            )
+        )
+    return DevicePlan(tuple(levels), n, plan.r, plan.M)
+
+
+class SweepResult(NamedTuple):
+    #: the reference's ``getLikelihood()`` value: ``logdet(Sigma_y) +
+    #: y^T Sigma_y^{-1} y`` over observed entries — a minimization objective
+    #: equal to ``-2 loglik - n_obs log 2pi`` (pyMRA/MRATree.py:82-84,
+    #: SURVEY quirk #7)
+    objective: jnp.ndarray
+    #: the proper marginal log-density of the observed data
+    loglik: jnp.ndarray
+    mean: jnp.ndarray | None  # [N] posterior mean at every location
+    var: jnp.ndarray | None  # [N] posterior variance at every location
+
+
+def _chol(mat: jnp.ndarray, jitter) -> jnp.ndarray:
+    if jitter:
+        eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+        mat = mat + jitter * eye
+    return jnp.linalg.cholesky(mat)
+
+
+def _logdiag_sum(chol: jnp.ndarray) -> jnp.ndarray:
+    """sum(log diag) over the last two axes of a batched Cholesky factor."""
+    d = jnp.diagonal(chol, axis1=-2, axis2=-1)
+    return jnp.sum(jnp.log(d), axis=-1)
+
+
+def _conditional_pass(covfn, X, path, Ls, Ys, jitter):
+    """Shared prior recursion for one level group.
+
+    Args:
+      X: ``[n, q, d]`` points of each node (knots for interior groups, all
+        padded locations for leaf groups).
+      path: ``[n, m]`` ancestor interior-row per level.
+      Ls / Ys: per-level ancestor stashes (prior Cholesky ``[n_j, r, r]``
+        and whitened stacks ``[n_j, j, r, r]``).
+
+    Returns:
+      (W_list, C_own, Z) where ``W_list[j]`` is ``[n, q, r]`` — the
+      conditional cross-covariance with ancestor-j knots (the reference's
+      ``B_lk``, MRANode.py:346-355), ``C_own`` is ``[n, q, q]`` — the node's
+      own conditional covariance, and ``Z`` is ``[n, m, r, q]`` — the
+      whitened stack for reuse by descendants.
+    """
+    n, q = X.shape[0], X.shape[1]
+    m = path.shape[1]
+    r = Ls[0].shape[-1] if m else 0
+    W_list = []
+    Z = jnp.zeros((n, m, r, q), dtype=X.dtype)
+    for j in range(m):
+        anc = path[:, j]
+        Xa = Ys[j]["knots"][anc]  # [n, r, d]
+        Cj = covfn(X, Xa)  # [n, q, r]
+        if j:
+            Yhat = Ys[j]["Y"][anc]  # [n, j, r, r]
+            Cj = Cj - jnp.einsum(
+                "njap,njab->npb", Z[:, :j], Yhat, precision="highest"
+            )
+        W_list.append(Cj)
+        Lanc = Ls[j][anc]  # [n, r, r]
+        Zj = solve_triangular(Lanc, jnp.swapaxes(Cj, -1, -2), lower=True)
+        Z = Z.at[:, j].set(Zj)
+    C_own = covfn(X, X)
+    if m:
+        C_own = C_own - jnp.einsum("njap,njaq->npq", Z, Z, precision="highest")
+    return W_list, C_own, Z
+
+
+def mra_sweep(
+    dplan: DevicePlan,
+    covfn: Callable,
+    y: jnp.ndarray,
+    r_diag: jnp.ndarray,
+    compute_posterior: bool = True,
+    jitter: float = 0.0,
+    keep_internals: bool = False,
+    axis_name: str | None = None,
+):
+    """Run the full MRA computation: likelihood and (optionally) prediction.
+
+    Args:
+      dplan: static device plan from :func:`make_device_plan`.
+      covfn: batched covariance ``(x [..., p, d], y [..., q, d]) ->
+        [..., p, q]`` — typically a :class:`pymra_tpu.kernels.Kernel`; its
+        parameters may be jit/grad traced.
+      y: ``[N]`` observations with NaN marking missing entries (the
+        reference's convention, MRANode.py:415).
+      r_diag: scalar or ``[N]`` measurement-error variance (diagonal R; the
+        reference's leaf math silently assumes scalar R — SURVEY quirk #8 —
+        here the diagonal case is handled exactly).
+      compute_posterior: also run the downward pass for mean/sd.
+      jitter: diagonal regularization added before each Cholesky
+        (replaces the reference's eigh-abs repair, MRANode.py:504-507).
+      keep_internals: also return per-level stashes (basis matrices and
+        posterior factors) for diagnostics / basis-function assembly.
+      axis_name: when called inside ``shard_map`` with the *leaf groups of
+        dplan sharded along their node axis*, the name of the mesh axis to
+        reduce over. Leaf-level partial sums (child messages, likelihood
+        increments, posterior scatters) are ``psum``-ed across devices while
+        the small coarse-level computation runs replicated — the TPU-native
+        replacement of the reference's critDepth fork + Pipe merge
+        (MRANode.py:64-116).
+
+    Returns:
+      :class:`SweepResult` (plus an internals dict if requested).
+    """
+    levels = dplan.levels
+    M = dplan.M
+    N = dplan.n_locs
+    dtype = levels[0].int_knots.dtype if levels[0].int_knots.size else (
+        levels[0].leaf_locs.dtype
+    )
+    y = jnp.asarray(y, dtype=dtype)
+    r_diag = jnp.broadcast_to(jnp.asarray(r_diag, dtype=dtype), (N,))
+    y_ext = jnp.concatenate([y, jnp.zeros(1, dtype=dtype)])
+    r_ext = jnp.concatenate([r_diag, jnp.ones(1, dtype=dtype)])
+
+    # ---------------- Pass A: prior (downward), interior levels ------------
+    prior_L: list = [None] * (M + 1)  # chol of conditional K per interior node
+    prior_Y: list = [None] * (M + 1)  # {"knots":..., "Y": [n, m, r, r]}
+    for m, lvl in enumerate(levels):
+        if lvl.int_knots.shape[0] == 0:
+            continue
+        W_list, C_own, Z = _conditional_pass(
+            covfn, lvl.int_knots, lvl.int_path, prior_L, prior_Y, jitter
+        )
+        prior_L[m] = _chol(C_own, jitter)
+        prior_Y[m] = {"knots": lvl.int_knots, "Y": Z}
+
+    # ---------------- Pass B: leaf groups — A, omega, own downdate ---------
+    # per level stash for the upward aggregation and the prediction pass;
+    # child entries are (ATil, omgTil, parent_rows, is_leaf_origin) — leaf
+    # contributions are partial sums under sharding and get psum-ed, interior
+    # contributions are replicated
+    leaf_stash: list = [None] * (M + 1)
+    children: list = [[] for _ in range(M + 1)]
+    d_leaf_total = jnp.zeros((), dtype=dtype)
+    u_leaf_total = jnp.zeros((), dtype=dtype)
+    d_int_total = jnp.zeros((), dtype=dtype)
+    u_int_total = jnp.zeros((), dtype=dtype)
+    n_obs_total = jnp.zeros((), dtype=dtype)
+
+    for m, lvl in enumerate(levels):
+        n_leaf = lvl.leaf_locs.shape[0]
+        if n_leaf == 0:
+            continue
+        P = lvl.leaf_locs.shape[1]
+        S = m * dplan.r
+        W_list, C_own, _ = _conditional_pass(
+            covfn, lvl.leaf_locs, lvl.leaf_path, prior_L, prior_Y, jitter
+        )
+        kmask = lvl.leaf_is_knot  # [n, P]
+        kmask_f = kmask.astype(dtype)
+        # own-basis block: conditional covariance with own-knot columns only
+        B_own = C_own * kmask_f[:, None, :]
+        # prior weight precision on own knots, identity on masked slots
+        pair = kmask_f[:, :, None] * kmask_f[:, None, :]
+        eyeP = jnp.eye(P, dtype=dtype)
+        K_leaf = C_own * pair + (1.0 - kmask_f)[:, :, None] * eyeP
+        Bstack = jnp.concatenate(W_list + [B_own], axis=-1)  # [n, P, S+P]
+
+        gidx = lvl.leaf_loc_gidx
+        y_leaf = y_ext[gidx]  # [n, P]
+        r_leaf = r_ext[gidx]
+        obs = jnp.isfinite(y_leaf) & lvl.leaf_loc_mask
+        y0 = jnp.where(obs, y_leaf, 0.0)
+        w = jnp.where(obs, 1.0 / r_leaf, 0.0)
+
+        A = jnp.einsum("npa,np,npb->nab", Bstack, w, Bstack, precision="highest")
+        omg = jnp.einsum("npa,np->na", Bstack, w * y0, precision="highest")
+
+        L_prior = _chol(K_leaf, jitter)
+        L_post = _chol(K_leaf + A[:, S:, S:], jitter)
+        v = solve_triangular(
+            L_post, omg[:, S:, None], lower=True
+        )[..., 0]  # [n, P]
+
+        # likelihood increments (log-Cholesky; leaf adds the R log-det and
+        # the data quadratic form — MRANode.py:452-459)
+        n_obs = jnp.sum(obs, axis=-1).astype(dtype)
+        d_leaf = (
+            2.0 * (_logdiag_sum(L_post) - _logdiag_sum(L_prior))
+            + jnp.sum(jnp.where(obs, jnp.log(r_leaf), 0.0), axis=-1)
+        )
+        u_leaf = jnp.sum(w * y0 * y0, axis=-1) - jnp.sum(v * v, axis=-1)
+        d_leaf_total = d_leaf_total + jnp.sum(d_leaf)
+        u_leaf_total = u_leaf_total + jnp.sum(u_leaf)
+        n_obs_total = n_obs_total + jnp.sum(n_obs)
+
+        if S:
+            Xblk = solve_triangular(L_post, A[:, S:, :S], lower=True)  # [n,P,S]
+            ATil = A[:, :S, :S] - jnp.einsum(
+                "npa,npb->nab", Xblk, Xblk, precision="highest"
+            )
+            omgTil = omg[:, :S] - jnp.einsum(
+                "npa,np->na", Xblk, v, precision="highest"
+            )
+            children[m].append((ATil, omgTil, lvl.leaf_parent, True))
+            G = solve_triangular(
+                L_post, Xblk, lower=True, trans="T"
+            )  # K~ A_own_head [n, P, S]
+        else:
+            G = jnp.zeros((n_leaf, P, 0), dtype=dtype)
+        g = solve_triangular(L_post, v[..., None], lower=True, trans="T")[..., 0]
+        leaf_stash[m] = {
+            "Bstack": Bstack,
+            "L_post": L_post,
+            "G": G,
+            "g": g,
+        }
+
+    # ---------------- Pass C: upward interior levels -----------------------
+    int_stash: list = [None] * (M + 1)
+    for m in range(M, -1, -1):
+        lvl = levels[m]
+        n_int = lvl.int_knots.shape[0]
+        if n_int == 0:
+            continue
+        r = dplan.r
+        S = m * r
+        # aggregate children's downdated messages (reference MRANode.py:432-440);
+        # under sharding the leaf-origin parts are per-device partial sums and
+        # cross the device boundary here via one psum per level
+        A_sh = jnp.zeros((n_int, S + r, S + r), dtype=dtype)
+        omg_sh = jnp.zeros((n_int, S + r), dtype=dtype)
+        A_rep = jnp.zeros_like(A_sh)
+        omg_rep = jnp.zeros_like(omg_sh)
+        any_sharded = False
+        for pa, po, pp, is_leaf_origin in children[m + 1]:
+            if is_leaf_origin:
+                any_sharded = True
+                A_sh = A_sh + jax.ops.segment_sum(pa, pp, num_segments=n_int)
+                omg_sh = omg_sh + jax.ops.segment_sum(po, pp, num_segments=n_int)
+            else:
+                A_rep = A_rep + jax.ops.segment_sum(pa, pp, num_segments=n_int)
+                omg_rep = omg_rep + jax.ops.segment_sum(po, pp, num_segments=n_int)
+        if axis_name is not None and any_sharded:
+            A_sh = jax.lax.psum(A_sh, axis_name)
+            omg_sh = jax.lax.psum(omg_sh, axis_name)
+        A = A_sh + A_rep
+        omg = omg_sh + omg_rep
+
+        Kc = prior_L[m]  # chol of prior K
+        KtK = Kc @ jnp.swapaxes(Kc, -1, -2) + A[:, S:, S:]
+        L_post = _chol(KtK, jitter)
+        v = solve_triangular(L_post, omg[:, S:, None], lower=True)[..., 0]
+        d_int_total = d_int_total + jnp.sum(
+            2.0 * (_logdiag_sum(L_post) - _logdiag_sum(Kc))
+        )
+        u_int_total = u_int_total - jnp.sum(v * v)
+
+        if S:
+            Xblk = solve_triangular(L_post, A[:, S:, :S], lower=True)
+            ATil = A[:, :S, :S] - jnp.einsum(
+                "nra,nrb->nab", Xblk, Xblk, precision="highest"
+            )
+            omgTil = omg[:, :S] - jnp.einsum(
+                "nra,nr->na", Xblk, v, precision="highest"
+            )
+            children[m].append((ATil, omgTil, lvl.int_parent, False))
+            G = solve_triangular(L_post, Xblk, lower=True, trans="T")
+        else:
+            G = jnp.zeros((n_int, r, 0), dtype=dtype)
+        g = solve_triangular(L_post, v[..., None], lower=True, trans="T")[..., 0]
+        int_stash[m] = {"L_post": L_post, "G": G, "g": g}
+
+    if axis_name is not None:
+        d_leaf_total = jax.lax.psum(d_leaf_total, axis_name)
+        u_leaf_total = jax.lax.psum(u_leaf_total, axis_name)
+        n_obs_total = jax.lax.psum(n_obs_total, axis_name)
+    objective = d_leaf_total + d_int_total + u_leaf_total + u_int_total
+    loglik = -0.5 * (objective + n_obs_total * LOG2PI)
+
+    mean_out = None
+    var_out = None
+    if compute_posterior:
+        mean_out = jnp.zeros(N, dtype=dtype)
+        var_out = jnp.zeros(N, dtype=dtype)
+        for m, lvl in enumerate(levels):
+            if leaf_stash[m] is None:
+                continue
+            st = leaf_stash[m]
+            T = st["Bstack"]  # [n, P, S+P]
+            S = m * dplan.r
+            # own-level contribution (reference moments, MRANode.py:509-511)
+            T_own = T[:, :, S:]
+            mean_l = jnp.einsum(
+                "npq,nq->np", T_own, st["g"], precision="highest"
+            )
+            half = solve_triangular(
+                st["L_post"], jnp.swapaxes(T_own, -1, -2), lower=True
+            )
+            var_l = jnp.sum(half * half, axis=-2)
+            T = T[:, :, :S] - jnp.einsum(
+                "npq,nqs->nps", T_own, st["G"], precision="highest"
+            )
+            # ancestor contributions, deepest first (BTil downdates,
+            # MRANode.py:485-495, composed along the leaf's path)
+            for j in range(m - 1, -1, -1):
+                anc = lvl.leaf_path[:, j]
+                stj = int_stash[j]
+                blk = T[:, :, j * dplan.r:(j + 1) * dplan.r]
+                gj = stj["g"][anc]
+                mean_l = mean_l + jnp.einsum(
+                    "npr,nr->np", blk, gj, precision="highest"
+                )
+                Lj = stj["L_post"][anc]
+                halfj = solve_triangular(Lj, jnp.swapaxes(blk, -1, -2), lower=True)
+                var_l = var_l + jnp.sum(halfj * halfj, axis=-2)
+                if j:
+                    Gj = stj["G"][anc]
+                    T = T[:, :, : j * dplan.r] - jnp.einsum(
+                        "npr,nrs->nps", blk, Gj, precision="highest"
+                    )
+            gidx = lvl.leaf_loc_gidx.reshape(-1)
+            mean_out = mean_out.at[gidx].add(
+                jnp.where(lvl.leaf_loc_mask, mean_l, 0.0).reshape(-1),
+                mode="drop",
+            )
+            var_out = var_out.at[gidx].add(
+                jnp.where(lvl.leaf_loc_mask, var_l, 0.0).reshape(-1),
+                mode="drop",
+            )
+        if axis_name is not None:
+            mean_out = jax.lax.psum(mean_out, axis_name)
+            var_out = jax.lax.psum(var_out, axis_name)
+
+    result = SweepResult(objective, loglik, mean_out, var_out)
+    if keep_internals:
+        return result, {
+            "prior_L": prior_L,
+            "prior_Y": prior_Y,
+            "leaf": leaf_stash,
+            "interior": int_stash,
+        }
+    return result

@@ -1,0 +1,201 @@
+"""MRA sweep correctness against exact dense-GP oracles.
+
+Systematizes the reference's hand-run oracle scripts (pyMRA/tests/
+unit-tests.py): configurations where the multi-resolution approximation is
+*provably exact* (M=0; 1-D exponential kernel with knots on partition
+boundaries — the screening effect) must match dense kriging to float64
+round-off; smooth 2-D configurations must be close.
+"""
+import jax
+import numpy as np
+import pytest
+
+from pymra_tpu import kernels
+from pymra_tpu.tree.model import MRAModel, MRATree
+from pymra_tpu.utils import gen_locations, gen_locations_2d, make_observations, simulate_grf
+
+from .oracles import exact_gp
+
+
+def _make_data(locs, kern, me_scale, frac_obs, seed):
+    x = simulate_grf(jax.random.key(seed), locs, kern, jitter=1e-10)
+    y_obs, _ = make_observations(jax.random.key(seed + 1), x, me_scale, frac_obs)
+    return np.asarray(y_obs)
+
+
+class TestExactConfigs:
+    def test_m0_1d_exponential(self):
+        """M=0 (a single leaf) is exact kriging — reference test #1
+        (unit-tests.py:22-71)."""
+        locs = gen_locations(12)
+        kern = kernels.Kernel("exponential", l=1.0)
+        y = _make_data(locs, kern, 1e-4, 0.5, 0)
+        model = MRAModel(locs, r=12, M=0)
+        res = model.sweep(kern, y, 1e-4)
+        oracle = exact_gp(np.asarray(kern(locs)), y, 1e-4)
+        np.testing.assert_allclose(float(res.objective), oracle["objective"], rtol=1e-9)
+        np.testing.assert_allclose(float(res.loglik), oracle["loglik"], rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(res.mean), oracle["mean"], atol=1e-9)
+        np.testing.assert_allclose(
+            np.sqrt(np.asarray(res.var)), oracle["sd"], atol=1e-8
+        )
+
+    def test_m0_2d_matern(self):
+        locs = gen_locations_2d(5)
+        kern = kernels.Kernel("matern32", l=0.4, sig=1.3)
+        y = _make_data(locs, kern, 1e-3, 0.6, 2)
+        model = MRAModel(locs, r=25, M=0)
+        res = model.sweep(kern, y, 1e-3)
+        oracle = exact_gp(np.asarray(kern(locs)), y, 1e-3)
+        np.testing.assert_allclose(float(res.objective), oracle["objective"], rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(res.mean), oracle["mean"], atol=1e-9)
+        np.testing.assert_allclose(
+            np.sqrt(np.asarray(res.var)), oracle["sd"], atol=1e-8
+        )
+
+    @pytest.mark.parametrize("M,r", [(1, 2), (2, 2), (3, 2)])
+    def test_screening_1d_exponential(self, M, r):
+        """1-D exponential with J=r+1 knot-boundary splits is exact at any M
+        (screening effect) — reference test #2 (unit-tests.py:75-130) and the
+        BASELINE.md parity anchor config."""
+        locs = gen_locations(100)
+        kern = kernels.Kernel("exponential", l=0.3)
+        y = _make_data(locs, kern, 1e-2, 0.4, 11)
+        model = MRAModel(locs, r=r, M=M, J=r + 1)
+        res = model.sweep(kern, y, 1e-2)
+        oracle = exact_gp(np.asarray(kern(locs)), y, 1e-2)
+        np.testing.assert_allclose(float(res.objective), oracle["objective"], rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(res.mean), oracle["mean"], atol=1e-8)
+        np.testing.assert_allclose(
+            np.sqrt(np.asarray(res.var)), oracle["sd"], atol=1e-7
+        )
+
+    def test_screening_tiny(self):
+        """The reference's minimal M=1 case (N=3, r=1, J=2,
+        unit-tests.py:75-130)."""
+        locs = gen_locations(3)
+        kern = kernels.Kernel("exponential", l=1.0)
+        y = _make_data(locs, kern, 1e-6, 0.67, 5)
+        model = MRAModel(locs, r=1, M=1, J=2)
+        res = model.sweep(kern, y, 1e-6)
+        oracle = exact_gp(np.asarray(kern(locs)), y, 1e-6)
+        np.testing.assert_allclose(np.asarray(res.mean), oracle["mean"], atol=1e-7)
+        np.testing.assert_allclose(
+            np.sqrt(np.asarray(res.var)), oracle["sd"], atol=1e-7
+        )
+
+
+class TestApproximateConfigs:
+    def test_2d_matern32_close(self):
+        """2-D Matern-3/2 (no exact screening): MRA must stay close to
+        kriging — reference test #3 pattern (unit-tests.py:134-199), with an
+        actual quantitative bound instead of the reference's no-assert
+        smoke."""
+        locs = gen_locations_2d(10)
+        kern = kernels.Kernel("matern32", l=0.5, sig=1.0)
+        y = _make_data(locs, kern, 1e-4, 0.7, 12)
+        model = MRAModel(locs, r=2, M=2, J=3)
+        res = model.sweep(kern, y, 1e-4)
+        oracle = exact_gp(np.asarray(kern(locs)), y, 1e-4)
+        signal = np.abs(oracle["mean"]).mean()
+        err = np.abs(np.asarray(res.mean) - oracle["mean"]).max()
+        assert err < 0.15 * signal
+        assert np.isfinite(float(res.objective))
+
+    def test_early_leaves_masking(self):
+        """Deep tree on few points forces leaves at multiple levels and
+        zero-knot leaves; masked padding must keep everything finite and
+        close to exact."""
+        locs = gen_locations(30)
+        kern = kernels.Kernel("exponential", l=0.5)
+        y = _make_data(locs, kern, 1e-3, 0.5, 7)
+        model = MRAModel(locs, r=2, M=3, J=3)
+        assert any(
+            g.n_leaf and g.level < model.plan.M for g in model.plan.levels
+        ) or model.plan.levels[-1].n_leaf > 0
+        res = model.sweep(kern, y, 1e-3)
+        assert np.isfinite(float(res.objective))
+        assert np.all(np.isfinite(np.asarray(res.mean)))
+        assert np.all(np.asarray(res.var) >= -1e-12)
+        oracle = exact_gp(np.asarray(kern(locs)), y, 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(res.mean), oracle["mean"], atol=1e-6
+        )
+
+    def test_diagonal_r(self):
+        """Heteroscedastic (diagonal) measurement error — the reference
+        silently assumes scalar R in the leaf math (SURVEY quirk #8); here it
+        must match the dense oracle exactly in an exact config."""
+        locs = gen_locations(20)
+        kern = kernels.Kernel("exponential", l=0.7)
+        y = _make_data(locs, kern, 1e-3, 0.5, 9)
+        rng = np.random.default_rng(1)
+        r_diag = 10 ** rng.uniform(-4, -2, size=20)
+        model = MRAModel(locs, r=20, M=0)
+        res = model.sweep(kern, y, r_diag)
+        oracle = exact_gp(np.asarray(kern(locs)), y, r_diag)
+        np.testing.assert_allclose(float(res.objective), oracle["objective"], rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(res.mean), oracle["mean"], atol=1e-9)
+
+
+class TestDifferentiability:
+    def test_grad_loglik_finite_and_correct(self):
+        locs = gen_locations(27)
+        kern = kernels.Kernel("exponential", l=0.3)
+        y = _make_data(locs, kern, 1e-2, 0.6, 3)
+        model = MRAModel(locs, r=2, M=2, J=3)
+        f = model.loglik_fn(y, 1e-2)
+        g = jax.grad(lambda k: f(k))(kern)
+        gl = float(g.params["l"])
+        assert np.isfinite(gl)
+        # finite-difference check
+        eps = 1e-5
+        fp = float(f(kern.replace(l=0.3 + eps)))
+        fm = float(f(kern.replace(l=0.3 - eps)))
+        np.testing.assert_allclose(gl, (fp - fm) / (2 * eps), rtol=1e-4)
+
+    def test_objective_matches_reference_convention(self):
+        """objective == -2 loglik - n_obs log(2 pi) (SURVEY quirk #7)."""
+        locs = gen_locations(16)
+        kern = kernels.Kernel("matern32", l=0.4)
+        y = _make_data(locs, kern, 1e-3, 0.5, 4)
+        model = MRAModel(locs, r=2, M=1, J=3)
+        res = model.sweep(kern, y, 1e-3)
+        n_obs = np.isfinite(y).sum()
+        np.testing.assert_allclose(
+            float(res.objective),
+            -2.0 * float(res.loglik) - n_obs * np.log(2 * np.pi),
+            rtol=1e-10,
+        )
+
+
+class TestFacade:
+    def test_mratree_api(self):
+        """Reference-style construction and accessors (pyMRA/MRATree.py:23-94)."""
+        locs = gen_locations(50)
+        kern = kernels.Kernel("exponential", l=0.3)
+        y = _make_data(locs, kern, 1e-2, 0.4, 11)
+        tree = MRATree(locs, 2, kern, y, 1e-2, M=3, J=3, critDepth=99)
+        # M=3 exceeds the grid's max for N=50 and is clamped to 2, exactly as
+        # the reference does (MRATree.py:41-50)
+        assert tree.M == 2 and tree.J == 3 and tree.r == 2
+        obj = tree.getLikelihood()
+        mean, sd = tree.predict()
+        assert mean.shape == (50, 1)
+        assert sd.shape == (50,)
+        oracle = exact_gp(np.asarray(kern(locs)), y, 1e-2)
+        np.testing.assert_allclose(obj, oracle["objective"], rtol=1e-8)
+        assert tree.minLeaf() <= tree.avgLeafSize() <= tree.maxLeaf()
+
+    def test_plain_callable_cov(self):
+        """Covariance given as a plain function (reference lambda style)."""
+        locs = gen_locations(12)
+        y = _make_data(locs, kernels.Kernel("exponential", l=0.5), 1e-3, 0.5, 2)
+        tree = MRATree(
+            locs, 12, lambda a, b=None: kernels.exponential(a, b, l=0.5),
+            y, 1e-3, M=0,
+        )
+        oracle = exact_gp(
+            np.asarray(kernels.exponential(locs, l=0.5)), y, 1e-3
+        )
+        np.testing.assert_allclose(tree.getLikelihood(), oracle["objective"], rtol=1e-8)
