@@ -1,0 +1,89 @@
+"""Automatic Differentiation Variational Inference (mean-field Gaussian).
+
+New capability relative to the reference (no VI anywhere in pyMRA). Fits a
+diagonal-Gaussian approximation to ``exp(log_prob_fn)`` in the unconstrained
+space by maximizing the reparameterized ELBO with optax.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+__all__ = ["advi", "ADVIResult"]
+
+
+class ADVIResult(NamedTuple):
+    mean: dict  #: pytree, variational mean
+    sd: dict  #: pytree, variational sd
+    elbo_history: jnp.ndarray  #: [steps]
+
+    def sample(self, key, n: int):
+        flat_mean, unravel = ravel_pytree(self.mean)
+        flat_sd, _ = ravel_pytree(self.sd)
+        z = jax.random.normal(key, (n, flat_mean.shape[0]),
+                              dtype=flat_mean.dtype)
+        draws = flat_mean + z * flat_sd
+        return jax.vmap(unravel)(draws)
+
+
+def advi(
+    log_prob_fn: Callable,
+    init_params,
+    key,
+    *,
+    steps: int = 500,
+    num_mc: int = 8,
+    learning_rate: float = 5e-2,
+) -> ADVIResult:
+    """Mean-field ADVI.
+
+    Args:
+      log_prob_fn: ``theta_pytree -> scalar`` (unnormalized) log density in
+        the unconstrained space.
+      init_params: pytree of initial mean values (no chain axis).
+
+    Returns:
+      :class:`ADVIResult`; ``result.sample(key, n)`` draws from the fitted
+      approximation.
+    """
+    import optax
+
+    mu0, unravel = ravel_pytree(init_params)
+    dim = mu0.shape[0]
+    dtype = mu0.dtype
+    log_sd0 = jnp.full(dim, -2.0, dtype=dtype)
+
+    def elbo(var_params, key):
+        mu, log_sd = var_params
+        sd = jnp.exp(log_sd)
+        z = jax.random.normal(key, (num_mc, dim), dtype=dtype)
+        draws = mu + z * sd
+        lps = jax.vmap(lambda x: log_prob_fn(unravel(x)))(draws)
+        entropy = jnp.sum(log_sd) + 0.5 * dim * (1.0 + jnp.log(2 * jnp.pi))
+        return jnp.mean(lps) + entropy
+
+    solver = optax.adam(learning_rate)
+    params = (mu0, log_sd0)
+    state = solver.init(params)
+
+    @jax.jit
+    def step(params, state, key):
+        value, grads = jax.value_and_grad(
+            lambda p: -elbo(p, key)
+        )(params)
+        updates, state = solver.update(grads, state)
+        return optax.apply_updates(params, updates), state, -value
+
+    history = []
+    for k in jax.random.split(key, steps):
+        params, state, value = step(params, state, k)
+        history.append(value)
+    mu, log_sd = params
+    return ADVIResult(
+        mean=unravel(mu),
+        sd=unravel(jnp.exp(log_sd)),
+        elbo_history=jnp.stack(history),
+    )

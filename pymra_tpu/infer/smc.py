@@ -1,0 +1,154 @@
+"""Sequential Monte Carlo over tempered likelihoods.
+
+New capability relative to the reference. Anneals particles from the prior
+to the posterior through ``prior * likelihood^beta`` with an adaptive
+temperature ladder (next beta chosen so the effective sample size stays at
+``ess_target`` of the particle count, via bisection), systematic resampling,
+and random-walk Metropolis mutation moves scaled by the particle cloud's
+standard deviation. Particles are vmapped; the whole sweep batches on the
+MXU and can be sharded across a mesh 'chain' axis like HMC chains.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+__all__ = ["smc", "SMCResult"]
+
+
+class SMCResult(NamedTuple):
+    particles: dict  #: pytree with leaves [n_particles, ...]
+    log_weights: jnp.ndarray  #: [n_particles] (uniform after final resample)
+    log_evidence: jnp.ndarray  #: marginal-likelihood estimate
+    betas: jnp.ndarray  #: realized temperature ladder
+    acc_rates: jnp.ndarray  #: mutation acceptance per stage
+
+
+def _systematic_resample(key, log_w, n):
+    w = jax.nn.softmax(log_w)
+    cum = jnp.cumsum(w)
+    u = (jax.random.uniform(key, ()) + jnp.arange(n)) / n
+    return jnp.searchsorted(cum, u)
+
+
+def _next_beta(log_like, beta, ess_target, n):
+    """Largest beta' in (beta, 1] with ESS(beta'-beta weights) >= target."""
+    def ess(b):
+        lw = (b - beta) * log_like
+        lw = lw - jnp.max(lw)
+        w = jnp.exp(lw)
+        return jnp.sum(w) ** 2 / jnp.sum(w * w)
+
+    def cond(state):
+        lo, hi, _ = state
+        return hi - lo > 1e-4
+
+    def body(state):
+        lo, hi, _ = state
+        mid = 0.5 * (lo + hi)
+        ok = ess(mid) >= ess_target * n
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid), mid
+
+    full = ess(1.0) >= ess_target * n
+    lo, hi, mid = jax.lax.while_loop(cond, body, (beta, 1.0, 1.0))
+    return jnp.where(full, 1.0, lo)
+
+
+def smc(
+    log_like_fn: Callable,
+    log_prior_fn: Callable,
+    prior_sample_fn: Callable,
+    key,
+    *,
+    n_particles: int = 256,
+    ess_target: float = 0.5,
+    n_mutations: int = 5,
+    max_stages: int = 50,
+    rw_scale: float = 0.5,
+) -> SMCResult:
+    """Adaptive tempered SMC.
+
+    Args:
+      log_like_fn: ``theta_pytree -> scalar`` log-likelihood.
+      log_prior_fn: ``theta_pytree -> scalar`` log-prior.
+      prior_sample_fn: ``key -> theta_pytree`` prior sampler (one draw).
+      key: PRNG key.
+
+    Returns:
+      :class:`SMCResult` (posterior particles, log-evidence estimate).
+    """
+    k_init, k_loop = jax.random.split(key)
+    theta0 = prior_sample_fn(k_init)
+    flat0, unravel = ravel_pytree(theta0)
+    dim = flat0.shape[0]
+    dtype = flat0.dtype
+
+    init_keys = jax.random.split(k_init, n_particles)
+    particles = jax.vmap(
+        lambda k: ravel_pytree(prior_sample_fn(k))[0]
+    )(init_keys)
+
+    loglike_flat = jax.vmap(lambda x: log_like_fn(unravel(x)))
+    logprior_flat = jax.vmap(lambda x: log_prior_fn(unravel(x)))
+
+    @jax.jit
+    def stage(carry, key):
+        particles, beta, log_evidence = carry
+        ll = loglike_flat(particles)
+        new_beta = _next_beta(ll, beta, ess_target, n_particles)
+        lw = (new_beta - beta) * ll
+        log_evidence = log_evidence + (
+            jax.nn.logsumexp(lw) - jnp.log(n_particles)
+        )
+        k_res, k_mut = jax.random.split(key)
+        idx = _systematic_resample(k_res, lw, n_particles)
+        particles = particles[idx]
+
+        # random-walk Metropolis mutations targeting prior * like^new_beta
+        def target(x_batch):
+            return (new_beta * loglike_flat(x_batch)
+                    + logprior_flat(x_batch))
+
+        def mutate(carry, k):
+            parts, lp = carry
+            scale = rw_scale * jnp.std(parts, axis=0) + 1e-8
+            k1, k2 = jax.random.split(k)
+            prop = parts + scale * jax.random.normal(
+                k1, parts.shape, dtype=dtype
+            )
+            lp_prop = target(prop)
+            log_u = jnp.log(jax.random.uniform(
+                k2, (n_particles,), dtype=dtype
+            ))
+            take = log_u < (lp_prop - lp)
+            parts = jnp.where(take[:, None], prop, parts)
+            lp = jnp.where(take, lp_prop, lp)
+            return (parts, lp), jnp.mean(take.astype(dtype))
+
+        lp0 = target(particles)
+        (particles, _), accs = jax.lax.scan(
+            mutate, (particles, lp0), jax.random.split(k_mut, n_mutations)
+        )
+        return (particles, new_beta, log_evidence), (new_beta, accs.mean())
+
+    beta = jnp.zeros((), dtype=dtype)
+    log_evidence = jnp.zeros((), dtype=dtype)
+    betas, accs = [], []
+    for k in jax.random.split(k_loop, max_stages):
+        (particles, beta, log_evidence), (b, a) = stage(
+            (particles, beta, log_evidence), k
+        )
+        betas.append(float(b))
+        accs.append(float(a))
+        if float(beta) >= 1.0:
+            break
+    return SMCResult(
+        particles=jax.vmap(unravel)(particles),
+        log_weights=jnp.zeros(n_particles, dtype=dtype),
+        log_evidence=log_evidence,
+        betas=jnp.asarray(betas),
+        acc_rates=jnp.asarray(accs),
+    )

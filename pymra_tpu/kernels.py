@@ -220,8 +220,13 @@ class Kernel:
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
+        # must not touch leaves (they may be tracers, PartitionSpecs, etc.)
         name, keys = aux
-        return cls(name, **dict(zip(keys, leaves)))
+        obj = object.__new__(cls)
+        obj.name = name
+        obj.params = dict(zip(keys, leaves))
+        obj._fn = get_kernel(name)
+        return obj
 
     def __repr__(self):
         ps = ", ".join(f"{k}={v}" for k, v in self.params.items())

@@ -1,0 +1,143 @@
+"""Sharded (multi-chip) MRA execution.
+
+Shards the *leaf axis* of the device plan across a mesh axis with
+``shard_map``: each device runs the heavy leaf-level work (covariance
+evaluation, A/omega assembly, own-block factorization, posterior basis
+replay) on its slice of subtrees, while the geometrically-shrinking coarse
+levels run replicated after one ``psum`` of the per-parent message partial
+sums per level (inside :func:`pymra_tpu.tree.sweep.mra_sweep` via its
+``axis_name`` argument).
+
+This is the TPU-native replacement for the reference's entire L2 layer —
+the ``critDepth`` process fork with pickled ``Node`` objects over pipes
+(pyMRA/MRANode.py:64-116, SURVEY §2.3): subtree-parallelism becomes leaf-axis
+sharding (the planner's DFS ordering keeps subtrees contiguous per shard),
+and the Pipe merge becomes ``psum`` over ICI. Unlike the fork (whose RNG
+divergence makes serial != parallel, SURVEY quirk #5), sharded results are
+bit-comparable to single-device results.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from pymra_tpu.tree.sweep import DeviceLevel, DevicePlan, mra_sweep
+
+__all__ = ["pad_plan_for_sharding", "sharded_sweep", "sharded_loglik_fn"]
+
+
+def _pad_axis0(arr: jnp.ndarray, target: int, fill) -> jnp.ndarray:
+    n = arr.shape[0]
+    if n == target:
+        return arr
+    pad_shape = (target - n,) + arr.shape[1:]
+    return jnp.concatenate([arr, jnp.full(pad_shape, fill, dtype=arr.dtype)])
+
+
+def pad_plan_for_sharding(dplan: DevicePlan, n_shards: int) -> DevicePlan:
+    """Pad every leaf group's node axis to a multiple of ``n_shards`` with
+    inert dummy leaves (no locations, no knots, no observations; parent 0 —
+    their zero messages are harmless in the segment sums)."""
+    levels = []
+    for lvl in dplan.levels:
+        n_leaf = lvl.leaf_locs.shape[0]
+        target = ((n_leaf + n_shards - 1) // n_shards) * n_shards
+        if n_leaf == target:
+            levels.append(lvl)
+            continue
+        levels.append(
+            DeviceLevel(
+                int_knots=lvl.int_knots,
+                int_path=lvl.int_path,
+                int_parent=lvl.int_parent,
+                leaf_locs=_pad_axis0(lvl.leaf_locs, target, 0.0),
+                leaf_loc_gidx=_pad_axis0(lvl.leaf_loc_gidx, target,
+                                         dplan.n_locs),
+                leaf_loc_mask=_pad_axis0(lvl.leaf_loc_mask, target, False),
+                leaf_is_knot=_pad_axis0(lvl.leaf_is_knot, target, False),
+                leaf_path=_pad_axis0(lvl.leaf_path, target, 0),
+                leaf_parent=_pad_axis0(lvl.leaf_parent, target, 0),
+            )
+        )
+    return DevicePlan(tuple(levels), dplan.n_locs, dplan.r, dplan.M)
+
+
+def _plan_specs(dplan: DevicePlan, axis: str) -> DevicePlan:
+    """PartitionSpec pytree matching the plan: leaf arrays sharded on their
+    node axis, interior arrays replicated."""
+    levels = tuple(
+        DeviceLevel(
+            int_knots=P(), int_path=P(), int_parent=P(),
+            leaf_locs=P(axis), leaf_loc_gidx=P(axis), leaf_loc_mask=P(axis),
+            leaf_is_knot=P(axis), leaf_path=P(axis), leaf_parent=P(axis),
+        )
+        for _ in dplan.levels
+    )
+    return DevicePlan(levels, dplan.n_locs, dplan.r, dplan.M)
+
+
+def sharded_sweep(
+    dplan: DevicePlan,
+    covfn: Callable,
+    y: jnp.ndarray,
+    r_diag,
+    mesh: Mesh,
+    axis: str = "data",
+    compute_posterior: bool = True,
+    jitter: float = 0.0,
+):
+    """Run the MRA sweep with leaves sharded over ``mesh`` axis ``axis``.
+
+    Results are numerically equivalent to the single-device
+    :func:`pymra_tpu.tree.sweep.mra_sweep` (the only difference is summation
+    order inside the per-level psum).
+    """
+    n_shards = mesh.shape[axis]
+    dplan_p = pad_plan_for_sharding(dplan, n_shards)
+    y = jnp.asarray(y).ravel()
+    r_diag = jnp.broadcast_to(jnp.asarray(r_diag, dtype=y.dtype),
+                              (dplan.n_locs,))
+    cov_specs = jax.tree.map(lambda _: P(), covfn)
+    out_specs = jax.tree.map(lambda _: P(), jax.eval_shape(
+        lambda dp, cv, yy, rr: mra_sweep(
+            dp, cv, yy, rr, compute_posterior=compute_posterior,
+            jitter=jitter),
+        dplan_p, covfn, y, r_diag,
+    ))
+
+    def body(dp, cv, yy, rr):
+        return mra_sweep(
+            dp, cv, yy, rr,
+            compute_posterior=compute_posterior,
+            jitter=jitter,
+            axis_name=axis,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(_plan_specs(dplan_p, axis), cov_specs, P(), P()),
+        out_specs=out_specs,
+    )
+    return fn(dplan_p, covfn, y, r_diag)
+
+
+def sharded_loglik_fn(dplan: DevicePlan, y, r_diag, mesh: Mesh,
+                      axis: str = "data", jitter: float = 0.0):
+    """``theta -> loglik`` with leaf-sharded evaluation, for gradient-based
+    inference on spatial domains too large for one chip."""
+    y = jnp.asarray(y).ravel()
+
+    def fn(cov):
+        return sharded_sweep(
+            dplan, cov, y, r_diag, mesh, axis=axis,
+            compute_posterior=False, jitter=jitter,
+        ).loglik
+
+    return fn

@@ -197,3 +197,70 @@ class MRATree:
 
     def maxLeaf(self) -> int:
         return int(self.model.leaf_sizes().max())
+
+    # -- tree traversal (reference MRATree.py:101-132) ----------------------
+
+    def getNodesBFS(self, groupByResolution: bool = False):
+        """Host node records in BFS order. Unlike the reference — whose tree
+        is destroyed during construction (MRANode.py:108-111, SURVEY quirk
+        #3) — the full structure is always available here."""
+        per_level = self.model.plan.nodes
+        if groupByResolution:
+            return [list(nodes) for nodes in per_level if nodes]
+        return [nd for nodes in per_level for nd in nodes]
+
+    def getNodesDFS(self):
+        out = []
+
+        def visit(nd):
+            out.append(nd)
+            for ch in nd.children:
+                visit(ch)
+
+        visit(self.model.plan.nodes[0][0])
+        return out
+
+    # -- basis matrix + drawing (reference MRATree.py:161-352, 445-511) -----
+
+    def getBasisFunctionsMatrix(self, distr: str = "prior",
+                                groupByResolution: bool = False,
+                                order: str = "root", timesKC: bool = False):
+        from pymra_tpu.tree.basis import basis_matrix
+
+        y = self.obs if distr == "posterior" else None
+        return basis_matrix(
+            self.model, self.cov, y=y, R=self.R, distr=distr,
+            group_by_resolution=groupByResolution, order=order,
+            times_kc=timesKC,
+        )
+
+    def drawKnots(self, fname=None, show=False):
+        from pymra_tpu.utils import viz
+
+        return viz.draw_knots(self.model, fname=fname, show=show)
+
+    def drawBMatrix(self, distr="prior", fname=None, show=False):
+        from pymra_tpu.utils import viz
+
+        return viz.draw_b_matrix(self.model, self.cov, y=self.obs, R=self.R,
+                                 distr=distr, fname=fname, show=show)
+
+    def drawSparsityPat(self, distr="prior", fname=None, show=False):
+        from pymra_tpu.utils import viz
+
+        return viz.draw_sparsity_pattern(self.model, self.cov, y=self.obs,
+                                         R=self.R, distr=distr, fname=fname,
+                                         show=show)
+
+    def drawBasisFunctions(self, distr="prior", fname=None, show=False):
+        from pymra_tpu.utils import viz
+
+        return viz.draw_basis_functions(self.model, self.cov, y=self.obs,
+                                        R=self.R, distr=distr, fname=fname,
+                                        show=show)
+
+    def drawGridAndObs(self, fname=None, show=False):
+        from pymra_tpu.utils import viz
+
+        return viz.draw_grid_and_obs(self.model, self.obs, fname=fname,
+                                     show=show)

@@ -332,6 +332,7 @@ def mra_sweep(
         g = solve_triangular(L_post, v[..., None], lower=True, trans="T")[..., 0]
         leaf_stash[m] = {
             "Bstack": Bstack,
+            "L_prior": L_prior,
             "L_post": L_post,
             "G": G,
             "g": g,
@@ -410,6 +411,10 @@ def mra_sweep(
             st = leaf_stash[m]
             T = st["Bstack"]  # [n, P, S+P]
             S = m * dplan.r
+            if keep_internals:
+                # posterior-basis blocks (the reference's BTil, MRANode.py:
+                # 485-495): T's block k right before step k's contribution
+                st["post_blocks"] = {m: T[:, :, S:]}
             # own-level contribution (reference moments, MRANode.py:509-511)
             T_own = T[:, :, S:]
             mean_l = jnp.einsum(
@@ -428,6 +433,8 @@ def mra_sweep(
                 anc = lvl.leaf_path[:, j]
                 stj = int_stash[j]
                 blk = T[:, :, j * dplan.r:(j + 1) * dplan.r]
+                if keep_internals:
+                    st["post_blocks"][j] = blk
                 gj = stj["g"][anc]
                 mean_l = mean_l + jnp.einsum(
                     "npr,nr->np", blk, gj, precision="highest"

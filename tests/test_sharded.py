@@ -1,0 +1,100 @@
+"""Sharded-vs-serial equivalence on a virtual 8-device CPU mesh.
+
+The reference could only check fork-parallel vs serial by eyeball (and they
+genuinely differ, BASELINE.md: 195324.22 vs 195037.85, because of unseeded
+RNG in forks — SURVEY quirk #5). Here sharded execution must match the
+single-device sweep to float64 round-off.
+"""
+import jax
+import numpy as np
+import pytest
+
+from pymra_tpu import kernels
+from pymra_tpu.parallel import make_mesh, sharded_loglik_fn, sharded_sweep
+from pymra_tpu.tree.model import MRAModel
+from pymra_tpu.utils import (
+    gen_locations,
+    gen_locations_2d,
+    make_observations,
+    simulate_grf,
+)
+
+
+def _data(locs, kern, seed, me=1e-3, frac=0.6):
+    x = simulate_grf(jax.random.key(seed), locs, kern, jitter=1e-10)
+    y, _ = make_observations(jax.random.key(seed + 1), x, me, frac)
+    return np.asarray(y)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh({"data": 8})
+
+
+class TestShardedEquivalence:
+    def test_2d_likelihood_and_posterior(self, mesh8):
+        locs = gen_locations_2d(16)  # 256 locs
+        kern = kernels.Kernel("matern32", l=0.4, sig=1.2)
+        y = _data(locs, kern, 0)
+        model = MRAModel(locs, r=4, M=2, J=4)
+        ref = model.sweep(kern, y, 1e-3)
+        shd = sharded_sweep(model.dplan, kern, y, 1e-3, mesh8)
+        np.testing.assert_allclose(
+            float(shd.objective), float(ref.objective), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(shd.mean), np.asarray(ref.mean), atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(shd.var), np.asarray(ref.var), atol=1e-11
+        )
+
+    def test_uneven_leaves_and_padding(self, mesh8):
+        # 30 locations, deep tree: early leaves at several levels, none of
+        # the leaf groups divisible by 8
+        locs = gen_locations(30)
+        kern = kernels.Kernel("exponential", l=0.5)
+        y = _data(locs, kern, 3)
+        model = MRAModel(locs, r=2, M=3, J=3)
+        ref = model.sweep(kern, y, 1e-3)
+        shd = sharded_sweep(model.dplan, kern, y, 1e-3, mesh8)
+        np.testing.assert_allclose(
+            float(shd.objective), float(ref.objective), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(shd.mean), np.asarray(ref.mean), atol=1e-11
+        )
+
+    def test_sharded_gradient(self, mesh8):
+        """Gradients flow through the collectives (needed for sharded HMC)."""
+        locs = gen_locations_2d(12)
+        kern = kernels.Kernel("matern32", l=0.4, sig=1.0)
+        y = _data(locs, kern, 5)
+        model = MRAModel(locs, r=4, M=2, J=4)
+        f_shd = sharded_loglik_fn(model.dplan, y, 1e-3, mesh8)
+        f_ref = model.loglik_fn(y, 1e-3)
+        g_shd = jax.grad(lambda k: f_shd(k))(kern)
+        g_ref = jax.grad(lambda k: f_ref(k))(kern)
+        np.testing.assert_allclose(
+            float(g_shd.params["l"]), float(g_ref.params["l"]), rtol=1e-9
+        )
+
+    def test_jit_sharded(self, mesh8):
+        locs = gen_locations_2d(12)
+        kern = kernels.Kernel("exponential", l=0.4)
+        y = _data(locs, kern, 7)
+        model = MRAModel(locs, r=4, M=2, J=4)
+
+        @jax.jit
+        def f(k):
+            return sharded_sweep(
+                model.dplan, k, y, 1e-3, mesh8, compute_posterior=False
+            ).objective
+
+        # jit fuses/reorders float reductions; the objective's d+u terms
+        # cancel heavily, so allow accumulated round-off
+        np.testing.assert_allclose(
+            float(f(kern)), float(model.objective(kern, y, 1e-3)), rtol=1e-6
+        )
