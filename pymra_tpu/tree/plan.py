@@ -69,6 +69,11 @@ class PlanConfig:
     #: reference-identical partitions; falls back to the built-in Lloyd's
     #: implementation otherwise
     use_sklearn: bool = True
+    #: k-means implementation: 'auto' (sklearn for reference parity if
+    #: available, else native C++, else numpy), 'sklearn', 'native' (the
+    #: C++ core in csrc/planner.cpp — fastest, used for very large plans),
+    #: or 'numpy'
+    kmeans_impl: str = "auto"
 
 
 def derive_tree_shape(n: int, r: int, d: int, M: int = -1, J: int = -1
@@ -128,7 +133,10 @@ def _kmeans_lloyd(points: np.ndarray, k: int, rng: np.random.Generator,
 
 def _kmeans(points: np.ndarray, k: int, cfg: PlanConfig
             ) -> tuple[np.ndarray, np.ndarray]:
-    if cfg.use_sklearn:
+    impl = cfg.kmeans_impl
+    if impl == "auto":
+        impl = "sklearn" if cfg.use_sklearn else "native"
+    if impl == "sklearn":
         try:
             from sklearn.cluster import KMeans
 
@@ -137,7 +145,12 @@ def _kmeans(points: np.ndarray, k: int, cfg: PlanConfig
             km = KMeans(n_clusters=k, random_state=0).fit(points)
             return km.cluster_centers_, km.labels_.astype(np.int64)
         except ImportError:
-            pass
+            impl = "native"
+    if impl == "native":
+        from pymra_tpu.ops import native
+
+        if native.available():
+            return native.kmeans(points, k, seed=cfg.seed)
     return _kmeans_lloyd(points, k, np.random.default_rng(cfg.seed))
 
 
