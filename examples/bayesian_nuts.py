@@ -1,0 +1,49 @@
+"""Bayesian inference of kernel hyper-parameters with NUTS.
+
+New capability relative to the reference (which has no sampler): the
+differentiable MRA marginal likelihood + log-normal priors, sampled with
+the No-U-Turn Sampler across vmapped chains, with R-hat/ESS diagnostics.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pymra_tpu import Kernel, MRAModel
+from pymra_tpu.infer import ess, nuts, split_rhat
+from pymra_tpu.utils import gen_locations, make_observations, simulate_grf
+
+
+def main():
+    locs = gen_locations(150)
+    true_kernel = Kernel("exponential", l=0.2)
+    x = simulate_grf(jax.random.key(0), locs, true_kernel, jitter=1e-8)
+    y_obs, _ = make_observations(jax.random.key(1), x, 1e-2, frac_obs=0.7)
+    y_obs = np.asarray(y_obs)
+
+    model = MRAModel(locs, r=3)
+    loglik = model.loglik_fn(
+        y_obs, 1e-2,
+        kernel_builder=lambda th: Kernel("exponential", l=jnp.exp(th["log_l"])),
+    )
+
+    def log_posterior(theta):
+        log_prior = -0.5 * (theta["log_l"] + 1.5) ** 2 / 1.0  # lognormal prior
+        return loglik(theta) + log_prior
+
+    chains = 4
+    init = {"log_l": jnp.linspace(-2.5, -0.5, chains)}
+    res = nuts(log_posterior, init, jax.random.key(2),
+               num_warmup=300, num_samples=300, max_depth=7)
+
+    ls = np.exp(np.asarray(res.samples["log_l"]))
+    print(f"posterior l: median {np.median(ls):.3f}  "
+          f"90% CI [{np.quantile(ls, 0.05):.3f}, {np.quantile(ls, 0.95):.3f}]"
+          f"  (true 0.2)")
+    print(f"R-hat {float(split_rhat(np.log(ls))):.3f}  "
+          f"ESS {float(ess(np.log(ls))):.0f}  "
+          f"divergences {int(res.num_divergent.sum())}  "
+          f"mean tree depth {float(np.asarray(res.tree_depth).mean()):.1f}")
+
+
+if __name__ == "__main__":
+    main()

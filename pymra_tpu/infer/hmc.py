@@ -84,15 +84,11 @@ def hmc(
 
     grad_fn = jax.grad(logp)
 
-    mu = jnp.log(10.0 * init_step_size)
-    gamma, t0_da, kappa = 0.05, 10.0, 0.75
-
     def kinetic(p, inv_mass):
         return 0.5 * jnp.sum(p * p * inv_mass)
 
-    def one_chain_step(carry, key, adapt, step_idx):
-        x, lp, eps, da_state, inv_mass, welford = carry
-        log_eps_bar, h_bar = da_state
+    def transition(x, lp, eps, inv_mass, key):
+        """One Metropolis-adjusted HMC step; returns (x, lp, accept_prob)."""
         k_mom, k_acc, k_jit = jax.random.split(key, 3)
         p = jax.random.normal(k_mom, (dim,), dtype=dtype) / jnp.sqrt(inv_mass)
         n_steps = num_leapfrog
@@ -111,70 +107,58 @@ def hmc(
         take = jax.random.uniform(k_acc, dtype=dtype) < accept_prob
         x = jnp.where(take, x_new, x)
         lp = jnp.where(take, lp_new, lp)
+        return x, lp, accept_prob
 
-        # dual averaging (during warmup)
-        t = step_idx + 1.0
-        h_bar_new = (1 - 1 / (t + t0_da)) * h_bar + (
-            (target_accept - accept_prob) / (t + t0_da)
-        )
-        log_eps = mu - jnp.sqrt(t) / gamma * h_bar_new
-        w = t ** (-kappa)
-        log_eps_bar_new = w * log_eps + (1 - w) * log_eps_bar
-        eps = jnp.where(adapt, jnp.exp(log_eps), eps)
-        da_state = (
-            jnp.where(adapt, log_eps_bar_new, log_eps_bar),
-            jnp.where(adapt, h_bar_new, h_bar),
-        )
-
-        # Welford variance accumulation (second half of warmup)
-        count, mean, m2 = welford
-        in_window = adapt & (step_idx >= num_warmup // 2)
-        delta = x - mean
-        count_new = count + 1.0
-        mean_new = mean + delta / count_new
-        m2_new = m2 + delta * (x - mean_new)
-        welford = (
-            jnp.where(in_window, count_new, count),
-            jnp.where(in_window, mean_new, mean),
-            jnp.where(in_window, m2_new, m2),
-        )
-        return (x, lp, eps, da_state, inv_mass, welford), (x, lp, accept_prob)
-
-    def run_phase(state, keys, adapt, offset):
-        def body(carry, inp):
-            key, idx = inp
-            return one_chain_step(carry, key, adapt, idx + offset)
-
-        idxs = jnp.arange(keys.shape[0], dtype=dtype)
-        return jax.lax.scan(body, state, (keys, idxs))
+    from pymra_tpu.infer.adapt import (
+        da_final,
+        da_init,
+        da_update,
+        warmup_schedule,
+        welford_init,
+        welford_update,
+        welford_var,
+    )
 
     def single_chain(x_init, key):
         lp0 = logp(x_init)
-        eps0 = jnp.asarray(init_step_size, dtype=dtype)
-        da0 = (jnp.log(eps0), jnp.zeros((), dtype=dtype))
-        inv_mass0 = jnp.ones(dim, dtype=dtype)
-        welford0 = (
-            jnp.zeros((), dtype=dtype),
-            jnp.zeros(dim, dtype=dtype),
-            jnp.zeros(dim, dtype=dtype),
-        )
-        state = (x_init, lp0, eps0, da0, inv_mass0, welford0)
 
-        k_warm, k_samp = jax.random.split(key)
-        state, _ = run_phase(
-            state, jax.random.split(k_warm, num_warmup), True, 0.0
-        )
-        x, lp, eps, da, inv_mass, (count, mean, m2) = state
-        # freeze adapted quantities
-        eps = jnp.exp(da[0])  # averaged step size
-        if adapt_mass:
-            var = jnp.where(count > 2, m2 / jnp.maximum(count - 1, 1), 1.0)
-            var = jnp.clip(var, 1e-8, 1e8)
-            inv_mass = var  # inverse metric ~ posterior variance
-        state = (x, lp, eps, da, inv_mass,
-                 (jnp.zeros_like(count), mean, m2))
-        state, (xs, lps, accs) = run_phase(
-            state, jax.random.split(k_samp, num_samples), False, 0.0
+        def run_warm_phase(x, lp, eps, inv_mass, n_steps, slow, key):
+            da = da_init(eps, dtype)
+            wf = welford_init(dim, dtype)
+
+            def step(carry, key):
+                x, lp, da, wf = carry
+                x, lp, acc = transition(
+                    x, lp, jnp.exp(da.log_eps), inv_mass, key
+                )
+                da = da_update(da, acc, target_accept)
+                if slow:
+                    wf = welford_update(wf, x)
+                return (x, lp, da, wf), None
+
+            (x, lp, da, wf), _ = jax.lax.scan(
+                step, (x, lp, da, wf), jax.random.split(key, n_steps)
+            )
+            return x, lp, da_final(da), wf
+
+        x, lp = x_init, lp0
+        eps = jnp.asarray(init_step_size, dtype=dtype)
+        inv_mass = jnp.ones(dim, dtype=dtype)
+        keys = iter(jax.random.split(key, 16))
+        for kind, n in warmup_schedule(num_warmup):
+            x, lp, eps, wf = run_warm_phase(
+                x, lp, eps, inv_mass, n, kind == "slow", next(keys)
+            )
+            if kind == "slow" and adapt_mass:
+                inv_mass = welford_var(wf)
+
+        def samp_step(carry, key):
+            x, lp = carry
+            x, lp, acc = transition(x, lp, eps, inv_mass, key)
+            return (x, lp), (x, lp, acc)
+
+        _, (xs, lps, accs) = jax.lax.scan(
+            samp_step, (x, lp), jax.random.split(next(keys), num_samples)
         )
         return xs, lps, accs.mean(), eps, inv_mass
 

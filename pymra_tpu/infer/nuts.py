@@ -1,0 +1,310 @@
+"""No-U-Turn Sampler (iterative, multinomial), TPU-friendly.
+
+The recursion-free formulation: each doubling builds its subtree leaf by
+leaf inside ``lax.while_loop`` with a fixed ``[max_depth+1]`` checkpoint
+stack for the internal U-turn checks, so the whole sampler is one compiled
+program with static shapes (no Python recursion, no dynamic tree
+structures). Chains are vmapped; batched leapfrog = batched sweep
+evaluations on the MXU.
+
+Scheme per subtree of ``2^depth`` leaves (generation order ``n = 0..2^d-1``):
+
+  * even ``n``  -> push the state (it is the left edge of every dyadic range
+    starting at ``n``);
+  * odd ``n`` with ``K`` trailing one-bits -> check the U-turn criterion
+    against the top ``K`` stack entries (the left edges of the ranges ending
+    at ``n``), then pop ``K - 1``.
+
+Proposals are drawn progressively with multinomial weights
+``exp(logp - kinetic)``; subtrees are merged with the biased-progressive
+rule; divergences terminate with an energy-error threshold of 1000.
+Warmup adapts the step size by dual averaging toward ``target_accept`` and
+a diagonal inverse mass from second-half-of-warmup variance, as in
+:mod:`pymra_tpu.infer.hmc`.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+__all__ = ["nuts", "NUTSResult"]
+
+_DIVERGENCE = 1000.0
+
+
+class NUTSResult(NamedTuple):
+    samples: dict | jnp.ndarray  #: pytree with leaves [chains, n_samples, ...]
+    log_prob: jnp.ndarray  #: [chains, n_samples]
+    accept_rate: jnp.ndarray  #: [chains] mean acceptance statistic
+    step_size: jnp.ndarray  #: [chains]
+    inv_mass: jnp.ndarray  #: [chains, dim]
+    num_divergent: jnp.ndarray  #: [chains]
+    tree_depth: jnp.ndarray  #: [chains, n_samples] realized doublings
+
+
+def _uturn(q_first, v_first, q_last, v_last):
+    dq = q_last - q_first
+    return (jnp.dot(dq, v_first) < 0.0) | (jnp.dot(dq, v_last) < 0.0)
+
+
+def nuts(
+    log_prob_fn: Callable,
+    init_params,
+    key,
+    *,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    init_step_size: float = 0.1,
+    adapt_mass: bool = True,
+) -> NUTSResult:
+    """Run NUTS chains (same contract as :func:`pymra_tpu.infer.hmc.hmc`)."""
+    chains = jax.tree_util.tree_leaves(init_params)[0].shape[0]
+    theta0 = jax.tree.map(lambda a: a[0], init_params)
+    _, unravel = ravel_pytree(theta0)
+    x0 = jax.vmap(lambda i: ravel_pytree(
+        jax.tree.map(lambda a: a[i], init_params))[0])(jnp.arange(chains))
+    dim = x0.shape[1]
+    dtype = x0.dtype
+
+    def logp(x):
+        return log_prob_fn(unravel(x))
+
+    value_and_grad = jax.value_and_grad(logp)
+
+    def leapfrog(q, p, grad, eps, inv_mass):
+        p = p + 0.5 * eps * grad
+        q = q + eps * inv_mass * p
+        lp, grad = value_and_grad(q)
+        p = p + 0.5 * eps * grad
+        return q, p, lp, grad
+
+    def kinetic(p, inv_mass):
+        return 0.5 * jnp.sum(p * p * inv_mass)
+
+    # ------------------------------------------------------------------
+    # one subtree of up to 2^depth leaves, built iteratively
+    # ------------------------------------------------------------------
+    def build_subtree(key, depth, z_edge, eps, direction, inv_mass, lw0):
+        """Extend the trajectory from edge state ``z_edge`` by 2^depth
+        leapfrog steps in ``direction``.
+
+        ``z_edge`` = (q, p, lp, grad). ``lw0`` = -H of the initial draw
+        (reference point for divergence checks). Returns the new edge, the
+        subtree proposal (q, lp), its log weight (logsumexp), and flags.
+        """
+        n_leaves = 2 ** depth
+        q_stack = jnp.zeros((max_depth + 1, dim), dtype=dtype)
+        p_stack = jnp.zeros((max_depth + 1, dim), dtype=dtype)
+
+        def cond(state):
+            n, *_ = state
+            _, _, _, _, _, _, _, _, turning, diverging, _ = state
+            return (n < n_leaves) & ~turning & ~diverging
+
+        def body(state):
+            (n, z, q_stack, p_stack, sp, prop, lse, acc_sum, turning,
+             diverging, key) = state
+            q, p, lp, grad = z
+            q, p, lp, grad = leapfrog(q, p, grad, eps * direction, inv_mass)
+            lw = lp - kinetic(p, inv_mass)
+            diverging = (lw0 - lw) > _DIVERGENCE
+            acc_sum = acc_sum + jnp.minimum(1.0, jnp.exp(lw - lw0))
+
+            # progressive multinomial proposal within the subtree
+            key, k_sel = jax.random.split(key)
+            lse_new = jnp.logaddexp(lse, lw)
+            take = jnp.log(jax.random.uniform(k_sel, dtype=dtype)) < (lw - lse_new)
+            prop = jax.tree.map(
+                lambda new, old: jnp.where(take, new, old),
+                (q, lp), prop,
+            )
+
+            is_even = (n % 2) == 0
+            # even leaf: push as a future left edge
+            q_stack = jnp.where(
+                is_even, q_stack.at[sp].set(q), q_stack
+            )
+            p_stack = jnp.where(
+                is_even, p_stack.at[sp].set(p), p_stack
+            )
+            sp_after_push = jnp.where(is_even, sp + 1, sp)
+
+            # odd leaf: U-turn checks against the top K left edges
+            n_odd = n.astype(jnp.uint32)
+            trailing_ones = jnp.where(
+                is_even, 0,
+                # count trailing ones of n (= trailing zeros of n+1)
+                jnp.int32(jnp.log2(jnp.float32(((n_odd + 1) & ~n_odd)) + 0.5)
+                          + 0.5),
+            )
+            v = inv_mass * p
+
+            def check_k(i, turn):
+                slot = sp_after_push - 1 - i
+                ql = q_stack[slot]
+                vl = inv_mass * p_stack[slot]
+                hit = (i < trailing_ones) & _uturn(ql, vl, q, v)
+                return turn | hit
+
+            turning = jax.lax.fori_loop(
+                0, max_depth + 1, check_k, turning
+            )
+            sp_next = jnp.where(
+                is_even, sp_after_push,
+                sp_after_push - jnp.maximum(trailing_ones - 1, 0),
+            )
+            return (n + 1, (q, p, lp, grad), q_stack, p_stack, sp_next,
+                    prop, lse_new, acc_sum, turning, diverging, key)
+
+        q0, p0, lp0, g0 = z_edge
+        init = (
+            jnp.zeros((), jnp.int32), z_edge, q_stack, p_stack,
+            jnp.zeros((), jnp.int32),
+            (q0, lp0), -jnp.inf * jnp.ones((), dtype),
+            jnp.zeros((), dtype),
+            jnp.zeros((), bool), jnp.zeros((), bool), key,
+        )
+        (n_done, z_new, _, _, _, prop, lse, acc_sum, turning, diverging,
+         _) = jax.lax.while_loop(cond, body, init)
+        return z_new, prop, lse, turning, diverging, acc_sum, n_done
+
+    # ------------------------------------------------------------------
+    # one NUTS transition
+    # ------------------------------------------------------------------
+    def transition(q, lp, grad, eps, inv_mass, key):
+        k_mom, k_loop = jax.random.split(key)
+        p = jax.random.normal(k_mom, (dim,), dtype=dtype) * jax.lax.rsqrt(
+            inv_mass
+        )
+        lw0 = lp - kinetic(p, inv_mass)
+        z0 = (q, p, lp, grad)
+
+        def cond(state):
+            (depth, _, _, _, _, _, turning, diverging, _, _, _) = state
+            return (depth < max_depth) & ~turning & ~diverging
+
+        def body(state):
+            (depth, z_left, z_right, prop, lse, _, turning, diverging,
+             acc_sum, n_total, key) = state
+            key, k_dir, k_sub, k_bias = jax.random.split(key, 4)
+            go_right = jax.random.bernoulli(k_dir)
+            direction = jnp.where(go_right, 1.0, -1.0).astype(dtype)
+            z_edge = jax.tree.map(
+                lambda r, l: jnp.where(go_right, r, l), z_right, z_left
+            )
+            (z_new, sub_prop, sub_lse, sub_turn, sub_div, sub_acc,
+             sub_n) = build_subtree(
+                k_sub, depth, z_edge, eps, direction, inv_mass, lw0
+            )
+            acc_sum = acc_sum + sub_acc
+            n_total = n_total + sub_n
+            ok = ~(sub_turn | sub_div)
+            # biased progressive merge
+            take = ok & (
+                jnp.log(jax.random.uniform(k_bias, dtype=dtype))
+                < (sub_lse - lse)
+            )
+            prop = jax.tree.map(
+                lambda new, old: jnp.where(take, new, old), sub_prop, prop
+            )
+            lse = jnp.where(ok, jnp.logaddexp(lse, sub_lse), lse)
+            z_right = jax.tree.map(
+                lambda new, old: jnp.where(go_right & ok, new, old),
+                z_new, z_right,
+            )
+            z_left = jax.tree.map(
+                lambda new, old: jnp.where((~go_right) & ok, new, old),
+                z_new, z_left,
+            )
+            # cross-trajectory U-turn
+            ql, pl = z_left[0], z_left[1]
+            qr, pr = z_right[0], z_right[1]
+            full_turn = _uturn(ql, inv_mass * pl, qr, inv_mass * pr)
+            return (depth + 1, z_left, z_right, prop, lse,
+                    jnp.zeros((), jnp.int32), turning | sub_turn | full_turn,
+                    diverging | sub_div, acc_sum, n_total, key)
+
+        init = (
+            jnp.zeros((), jnp.int32), z0, z0, (q, lp), lw0,
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+            jnp.zeros((), bool), jnp.zeros((), dtype),
+            jnp.ones((), jnp.int32), k_loop,
+        )
+        (depth, _, _, prop, _, _, _, diverging, acc_sum, n_total,
+         _) = jax.lax.while_loop(cond, body, init)
+        q_new, lp_new = prop
+        accept_stat = acc_sum / jnp.maximum(n_total - 1, 1)
+        _, grad_new = value_and_grad(q_new)
+        return q_new, lp_new, grad_new, accept_stat, diverging, depth
+
+    # ------------------------------------------------------------------
+    # warmup (Stan-style windowed adaptation) and sampling, per chain
+    # ------------------------------------------------------------------
+    from pymra_tpu.infer.adapt import (
+        da_final,
+        da_init,
+        da_update,
+        warmup_schedule,
+        welford_init,
+        welford_update,
+        welford_var,
+    )
+
+    def single_chain(x_init, key):
+        lp0, g0 = value_and_grad(x_init)
+
+        def run_phase(x, lp, grad, eps, inv_mass, n_steps, slow, key):
+            da = da_init(eps, dtype)
+            wf = welford_init(dim, dtype)
+
+            def step(carry, key):
+                x, lp, grad, da, wf = carry
+                x, lp, grad, acc, _, _ = transition(
+                    x, lp, grad, jnp.exp(da.log_eps), inv_mass, key
+                )
+                da = da_update(da, acc, target_accept)
+                if slow:
+                    wf = welford_update(wf, x)
+                return (x, lp, grad, da, wf), None
+
+            (x, lp, grad, da, wf), _ = jax.lax.scan(
+                step, (x, lp, grad, da, wf), jax.random.split(key, n_steps)
+            )
+            return x, lp, grad, da_final(da), wf
+
+        x, lp, grad = x_init, lp0, g0
+        eps = jnp.asarray(init_step_size, dtype=dtype)
+        inv_mass = jnp.ones(dim, dtype)
+        keys = iter(jax.random.split(key, 16))
+        for kind, n in warmup_schedule(num_warmup):
+            x, lp, grad, eps, wf = run_phase(
+                x, lp, grad, eps, inv_mass, n, kind == "slow", next(keys)
+            )
+            if kind == "slow" and adapt_mass:
+                inv_mass = welford_var(wf)
+        k_samp = next(keys)
+
+        def samp_step(carry, key):
+            x, lp, grad, n_div = carry
+            x, lp, grad, acc, div, depth = transition(
+                x, lp, grad, eps, inv_mass, key
+            )
+            return (x, lp, grad, n_div + div), (x, lp, acc, depth)
+
+        (_, _, _, n_div), (xs, lps, accs, depths) = jax.lax.scan(
+            samp_step, (x, lp, grad, jnp.zeros((), jnp.int32)),
+            jax.random.split(k_samp, num_samples),
+        )
+        return xs, lps, accs.mean(), eps, inv_mass, n_div, depths
+
+    keys = jax.random.split(key, chains)
+    xs, lps, acc, eps, inv_mass, n_div, depths = jax.vmap(single_chain)(
+        x0, keys
+    )
+    samples = jax.vmap(jax.vmap(unravel))(xs)
+    return NUTSResult(samples, lps, acc, eps, inv_mass, n_div, depths)

@@ -42,6 +42,7 @@ __all__ = [
     "kanter",
     "determine_radius",
     "Kernel",
+    "MatrixKernel",
     "get_kernel",
 ]
 
@@ -105,10 +106,26 @@ def matern(locs1, locs2=None, l=1.0, sig=1.0, nu=1.5, circular=False):
         return matern52(locs1, locs2, l=l, sig=sig, circular=circular)
     if nu == math.inf:
         return gaussian(locs1, locs2, l=l, sig=sig, circular=circular)
-    raise NotImplementedError(
-        f"matern(nu={nu}): only the closed-form nu in {{0.5, 1.5, 2.5, inf}} "
-        "are supported on TPU (general nu needs modified Bessel functions)."
-    )
+    # general nu: host-side fallback via scipy's modified Bessel function
+    # (matches the reference's sklearn Matern wrapper, MRATools.py:273-277);
+    # only for concrete inputs — not differentiable/jittable on device
+    import jax.core
+
+    if any(isinstance(a, jax.core.Tracer) for a in (locs1, locs2, l, sig)
+           if a is not None):
+        raise NotImplementedError(
+            f"matern(nu={nu}): arbitrary nu is host-only (scipy Bessel); "
+            "use nu in {0.5, 1.5, 2.5, inf} inside jit/grad."
+        )
+    from scipy.special import gamma as _gamma
+    from scipy.special import kv as _kv
+
+    d = np.asarray(dist(locs1, locs2, circular=circular), dtype=np.float64)
+    scaled = np.sqrt(2.0 * nu) * d / float(l)
+    safe = np.where(scaled == 0.0, 1.0, scaled)
+    vals = (2.0 ** (1.0 - nu) / _gamma(nu)) * safe**nu * _kv(nu, safe)
+    vals = np.where(scaled == 0.0, 1.0, vals)
+    return jnp.asarray(float(sig) * vals)
 
 
 def kanter(locs1, locs2=None, radius=1.0, circular=False):
@@ -188,6 +205,41 @@ def get_kernel(name: str) -> Callable:
         raise KeyError(
             f"Unknown kernel {name!r}; available: {sorted(_REGISTRY)}"
         ) from None
+
+
+@jax.tree_util.register_pytree_node_class
+class MatrixKernel:
+    """Covariance supplied as a dense pre-computed matrix.
+
+    Counterpart of the reference's ``isinstance(cov, np.matrix)`` path
+    (pyMRA/MRANode.py:73-75, 381-382): instead of evaluating a kernel at
+    coordinates, sub-blocks are gathered from ``matrix`` by location index.
+    Use with an index-mode device plan
+    (``make_device_plan(..., index_points=True)``); the model facade sets
+    this up automatically when ``cov`` is an array.
+    """
+
+    def __init__(self, matrix):
+        self.matrix = jnp.asarray(matrix)
+
+    def __call__(self, xi, yi=None):
+        if yi is None:
+            yi = xi
+        i = jnp.asarray(xi)[..., 0].astype(jnp.int32)
+        j = jnp.asarray(yi)[..., 0].astype(jnp.int32)
+        return self.matrix[i[..., :, None], j[..., None, :]]
+
+    def tree_flatten(self):
+        return (self.matrix,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.matrix = leaves[0]
+        return obj
+
+    def __repr__(self):
+        return f"MatrixKernel(shape={tuple(self.matrix.shape)})"
 
 
 @jax.tree_util.register_pytree_node_class

@@ -67,7 +67,8 @@ class MRAModel:
     def __init__(self, locs, r: int, *, M: int = -1, J: int = -1,
                  seed: int = 0, dtype=None, jitter: float | None = None,
                  config: PlanConfig | None = None,
-                 plan: TreePlan | None = None):
+                 plan: TreePlan | None = None,
+                 index_mode: bool = False):
         if plan is None:
             plan = build_plan(locs, r, M=M, J=J, seed=seed, config=config)
         self.plan = plan
@@ -78,7 +79,14 @@ class MRAModel:
         if jitter is None:
             jitter = 0.0 if dtype == jnp.float64 else 1e-6
         self.jitter = float(jitter)
-        self.dplan: DevicePlan = make_device_plan(plan, dtype=dtype)
+        #: index_mode plans pass location indices (not coordinates) to the
+        #: covariance — for dense-matrix covariances via
+        #: :class:`pymra_tpu.kernels.MatrixKernel` (the reference's
+        #: matrix-cov path, MRANode.py:73-75)
+        self.index_mode = bool(index_mode)
+        self.dplan: DevicePlan = make_device_plan(
+            plan, dtype=dtype, index_points=index_mode
+        )
 
     # -- core evaluations ---------------------------------------------------
 
@@ -148,7 +156,14 @@ class MRATree:
     def __init__(self, locs, r, cov, obs, R, M=-1, J=-1, critDepth=-1,
                  verbose: bool = False, seed: int = 0, dtype=None):
         del critDepth, verbose
-        self.model = MRAModel(locs, r, M=M, J=J, seed=seed, dtype=dtype)
+        # dense-matrix covariance (reference MRANode.py:73-75 matrix path)
+        matrix_cov = isinstance(cov, (np.ndarray, jnp.ndarray)) and np.ndim(cov) == 2
+        self.model = MRAModel(locs, r, M=M, J=J, seed=seed, dtype=dtype,
+                              index_mode=matrix_cov)
+        if matrix_cov:
+            from pymra_tpu.kernels import MatrixKernel
+
+            cov = MatrixKernel(jnp.asarray(cov, dtype=self.model.dtype))
         self.cov = cov
         self.obs = jnp.asarray(np.asarray(obs, dtype=np.float64).ravel())
         self.R = R
@@ -197,6 +212,22 @@ class MRATree:
 
     def maxLeaf(self) -> int:
         return int(self.model.leaf_sizes().max())
+
+    def setPrior(self, xF=None, Sigma=None):
+        """Replace the covariance with an explicit dense matrix and reset
+        cached results (reference ``setPrior``, MRATree.py:436-438 — whose
+        ``xF`` argument is ignored there too, SURVEY quirk #12)."""
+        del xF
+        from pymra_tpu.kernels import MatrixKernel
+
+        if not self.model.index_mode:
+            self.model = MRAModel(
+                self.model.plan.locs, self.r, M=self.M, J=self.J,
+                plan=self.model.plan, index_mode=True,
+                dtype=self.model.dtype,
+            )
+        self.cov = MatrixKernel(jnp.asarray(Sigma, dtype=self.model.dtype))
+        self._result = None
 
     # -- tree traversal (reference MRATree.py:101-132) ----------------------
 

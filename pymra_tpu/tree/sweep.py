@@ -81,32 +81,51 @@ class DeviceLevel(NamedTuple):
 class DevicePlan:
     """Device-resident static plan. The index/coordinate arrays are pytree
     leaves; the integer metadata (N, r, M) is static aux data so jitted
-    sweeps see concrete shapes."""
+    sweeps see concrete shapes.
+
+    ``compute_dtype`` is the float dtype of all numeric work. In
+    ``index_points`` mode the per-node point arrays hold *location indices*
+    instead of coordinates, for covariances given as a dense matrix (the
+    reference's ``isinstance(cov, np.matrix)`` path, MRANode.py:73-75) —
+    pair them with :class:`pymra_tpu.kernels.MatrixKernel`.
+    """
 
     def __init__(self, levels: tuple[DeviceLevel, ...], n_locs: int, r: int,
-                 M: int):
+                 M: int, compute_dtype: str = "float32",
+                 index_points: bool = False):
         self.levels = tuple(levels)
         self.n_locs = int(n_locs)
         self.r = int(r)
         self.M = int(M)
+        self.compute_dtype = str(compute_dtype)
+        self.index_points = bool(index_points)
 
     def tree_flatten(self):
-        return (self.levels,), (self.n_locs, self.r, self.M)
+        return (self.levels,), (self.n_locs, self.r, self.M,
+                                self.compute_dtype, self.index_points)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
 
 
-def make_device_plan(plan: TreePlan, dtype=jnp.float32) -> DevicePlan:
+def make_device_plan(plan: TreePlan, dtype=jnp.float32,
+                     index_points: bool = False) -> DevicePlan:
     """Upload a host :class:`TreePlan` as static device arrays.
 
     Coordinates are pre-gathered per node (locations are fixed per plan), so
     the sweep never indexes the global location array for covariance
     evaluation. Padded leaf slots point at location 0 and are masked.
+
+    With ``index_points=True`` the per-node point arrays hold global
+    location *indices* (shape ``[..., 1]`` int32) instead of coordinates;
+    use with :class:`pymra_tpu.kernels.MatrixKernel` for a dense
+    user-supplied covariance matrix.
     """
     locs = np.asarray(plan.locs)
     n = len(locs)
+    if index_points:
+        locs = np.arange(n, dtype=np.int32)[:, None]
     levels = []
     for g in plan.levels:
         ik = locs[g.int_knot_gidx] if g.n_int else np.zeros((0, plan.r, locs.shape[1]))
@@ -140,11 +159,33 @@ class SweepResult(NamedTuple):
     var: jnp.ndarray | None  # [N] posterior variance at every location
 
 
-def _chol(mat: jnp.ndarray, jitter) -> jnp.ndarray:
-    if jitter:
-        eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
-        mat = mat + jitter * eye
-    return jnp.linalg.cholesky(mat)
+def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
+    """Cholesky with scale-relative diagonal regularization.
+
+    The jitter is scaled by the mean diagonal magnitude so it stays
+    meaningful for matrices far from unit scale. For posterior blocks
+    ``K + A`` callers pass the *prior* matrix's scale explicitly — the data
+    term ``A`` carries a 1/R factor that would otherwise inflate the
+    regularization (and bias log-determinants). This replaces the
+    reference's eigh/absolute-value PSD repair (MRANode.py:504-507, SURVEY
+    quirk #10).
+    """
+    if not jitter:
+        return jnp.linalg.cholesky(mat)
+    if scale is None:
+        d = jnp.diagonal(mat, axis1=-2, axis2=-1)
+        scale = jnp.mean(jnp.abs(d), axis=-1)
+    scale = scale[..., None, None] + 1.0
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    chol = jnp.linalg.cholesky(mat + (jitter * scale) * eye)
+    # escalate for the (rare) batch members whose block is numerically
+    # indefinite beyond the base jitter — e.g. near-duplicate fine-scale
+    # points deep in the tree; keeps the base regularization unbiased
+    for factor in (1e2, 1e4):
+        bad = jnp.any(jnp.isnan(chol), axis=(-2, -1))[..., None, None]
+        retry = jnp.linalg.cholesky(mat + (jitter * factor * scale) * eye)
+        chol = jnp.where(bad, retry, chol)
+    return chol
 
 
 def _logdiag_sum(chol: jnp.ndarray) -> jnp.ndarray:
@@ -188,9 +229,20 @@ def _conditional_pass(covfn, X, path, Ls, Ys, jitter):
         Lanc = Ls[j][anc]  # [n, r, r]
         Zj = solve_triangular(Lanc, jnp.swapaxes(Cj, -1, -2), lower=True)
         Z = Z.at[:, j].set(Zj)
-    C_own = covfn(X, X)
+    C_raw = covfn(X, X)
+    C_own = C_raw
     if m:
         C_own = C_own - jnp.einsum("njap,njaq->npq", Z, Z, precision="highest")
+        if jitter:
+            # conditional variances are mathematically non-negative; in low
+            # precision the deep rank-r downdate chain can push them
+            # slightly negative — floor them relative to the prior variance
+            d_raw = jnp.diagonal(C_raw, axis1=-2, axis2=-1)
+            d_own = jnp.diagonal(C_own, axis1=-2, axis2=-1)
+            lift = jnp.maximum(jitter * d_raw - d_own, 0.0)
+            C_own = C_own + lift[..., :, None] * jnp.eye(
+                C_own.shape[-1], dtype=C_own.dtype
+            )
     return W_list, C_own, Z
 
 
@@ -298,7 +350,10 @@ def mra_sweep(
         omg = jnp.einsum("npa,np->na", Bstack, w * y0, precision="highest")
 
         L_prior = _chol(K_leaf, jitter)
-        L_post = _chol(K_leaf + A[:, S:, S:], jitter)
+        prior_scale = jnp.mean(
+            jnp.abs(jnp.diagonal(K_leaf, axis1=-2, axis2=-1)), axis=-1
+        )
+        L_post = _chol(K_leaf + A[:, S:, S:], jitter, scale=prior_scale)
         v = solve_triangular(
             L_post, omg[:, S:, None], lower=True
         )[..., 0]  # [n, P]
@@ -370,8 +425,11 @@ def mra_sweep(
         omg = omg_sh + omg_rep
 
         Kc = prior_L[m]  # chol of prior K
-        KtK = Kc @ jnp.swapaxes(Kc, -1, -2) + A[:, S:, S:]
-        L_post = _chol(KtK, jitter)
+        Kmat = Kc @ jnp.swapaxes(Kc, -1, -2)
+        prior_scale = jnp.mean(
+            jnp.abs(jnp.diagonal(Kmat, axis1=-2, axis2=-1)), axis=-1
+        )
+        L_post = _chol(Kmat + A[:, S:, S:], jitter, scale=prior_scale)
         v = solve_triangular(L_post, omg[:, S:, None], lower=True)[..., 0]
         d_int_total = d_int_total + jnp.sum(
             2.0 * (_logdiag_sum(L_post) - _logdiag_sum(Kc))

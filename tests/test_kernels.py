@@ -84,8 +84,9 @@ class TestKernels:
                 np.asarray(fn(self.a, self.b, l=0.3)),
                 atol=1e-12,
             )
-        with pytest.raises(NotImplementedError):
-            kernels.matern(self.a, nu=0.7)
+        # general nu falls back to the host scipy-Bessel path
+        k = np.asarray(kernels.matern(self.a, nu=0.7))
+        np.testing.assert_allclose(np.diag(k), 1.0, atol=1e-10)
 
     def test_kernels_positive_definite(self):
         locs = gen_locations_2d(7)
