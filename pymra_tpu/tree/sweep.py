@@ -284,6 +284,20 @@ def mra_sweep(
     Returns:
       :class:`SweepResult` (plus an internals dict if requested).
     """
+    # Pin every matmul — including those XLA synthesizes inside cholesky /
+    # triangular_solve — to full float32 accumulation. On TPU the default
+    # is single-pass bfloat16, which is fine for shallow trees but
+    # accumulates into NaN-producing indefiniteness over deep (M~8)
+    # conditional-downdate chains on fine grids.
+    with jax.default_matmul_precision("float32"):
+        return _mra_sweep_impl(
+            dplan, covfn, y, r_diag, compute_posterior, jitter,
+            keep_internals, axis_name,
+        )
+
+
+def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
+                    keep_internals, axis_name):
     levels = dplan.levels
     M = dplan.M
     N = dplan.n_locs
