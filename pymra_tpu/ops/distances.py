@@ -32,6 +32,16 @@ def sqdist(locs1: jnp.ndarray, locs2: jnp.ndarray | None = None) -> jnp.ndarray:
     a = _as2d(locs1)
     self_pair = locs2 is None
     b = a if self_pair else _as2d(locs2)
+    d = a.shape[-1]
+    if d <= 4:
+        # Low-dimensional (spatial) case: direct coordinate differences.
+        # This is both cheaper than an MXU matmul at d=2-3 and numerically
+        # exact for nearby points — the |a|^2+|b|^2-2ab expansion loses all
+        # significance when points are ~1e-3 apart on a unit domain (fatal
+        # for fine-grid covariance blocks in float32, especially with TPU
+        # matmul accumulation).
+        diff = a[..., :, None, :] - b[..., None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
     a2 = jnp.sum(a * a, axis=-1)[..., :, None]
     b2 = jnp.sum(b * b, axis=-1)[..., None, :]
     ab = jnp.matmul(a, jnp.swapaxes(b, -1, -2), precision="highest")
