@@ -30,11 +30,13 @@ def main():
     from pymra_tpu.data.loader import load_data
     from pymra_tpu.kernels import Kernel
     from pymra_tpu.tree.model import MRAModel
+    from pymra_tpu.tree.plan import PlanConfig
     from pymra_tpu.tree.sweep import mra_sweep
 
     locs, y_obs = load_data("large")
     t0 = time.time()
-    model = MRAModel(locs, r=4, dtype=jnp.float32)
+    model = MRAModel(locs, r=4, dtype=jnp.float32,
+                     config=PlanConfig(r=4, kmeans_impl="native"))
     plan_s = time.time() - t0
 
     y = jnp.asarray(y_obs, dtype=model.dtype)
