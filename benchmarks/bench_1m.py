@@ -11,6 +11,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, str(__import__('pathlib').Path(__file__).resolve().parent.parent))
+
 
 def main(r=8, M=-1):
     import jax

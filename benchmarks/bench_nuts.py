@@ -16,6 +16,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, str(__import__('pathlib').Path(__file__).resolve().parent.parent))
+
 
 def main(chains=8, warmup=30, samples=30):
     import jax

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["cholesky", "solve_triangular_batched", "pallas_available"]
+__all__ = ["cholesky", "cholesky_jittered", "solve_triangular_batched",
+           "pallas_available"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -58,12 +59,14 @@ def pallas_available() -> bool:
         return False
 
 
-def _batch_chunk(p: int, vmem_budget: int = 6 * 2**20) -> int:
-    """Lane-axis chunk so the working set (A + L blocks, double-buffered)
-    stays within a conservative VMEM budget."""
+def _batch_chunk(p: int, vmem_budget: int = 6 * 2**20,
+                 buffers: int = 4) -> int:
+    """Lane-axis chunk so the working set (``buffers`` live [P, P, chunk]
+    blocks: inputs/outputs incl. pipeline double-buffering plus kernel
+    temporaries) stays within a conservative VMEM budget."""
     # sublane padding: second-to-last dim of an [P, P, B] f32 block pads to 8
     p_pad = _cdiv(p, 8) * 8
-    per_lane = 4 * p * p_pad * 4  # A, L, in, out buffers, 4 bytes each
+    per_lane = buffers * p * p_pad * 4
     chunk = vmem_budget // max(per_lane, 1)
     chunk = max(128, min(4096, (chunk // 128) * 128))
     return chunk
@@ -89,6 +92,44 @@ def _chol_kernel(p: int):
                 # are never read again (strictly-lower reads only)
                 a = a - col[:, None, :] * col[None, :, :]
         l_ref[:] = l
+
+    return kernel
+
+
+def _chol_jittered_kernel(p: int, factors: tuple[float, ...]):
+    def kernel(a_ref, j_ref, l_ref, f_ref):
+        # a_ref: [P, P, Bc]; j_ref/f_ref: [1, Bc]; batch on lanes.
+        a0 = a_ref[:]
+        dt = a0.dtype
+        js = j_ref[0, :]  # [Bc] per-matrix jitter magnitude
+        rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
+        diag = (jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
+                ).astype(dt)
+
+        def run(jfac):
+            a = a0 + diag * (js * jfac)[None, None, :]
+            l = jnp.zeros_like(a)
+            for j in range(p):
+                piv = jnp.sqrt(a[j, j, :])
+                col = a[:, j, :] / piv[None, :]
+                colm = jnp.where(rows >= j, col, jnp.zeros((), dt))
+                l = l + colm[:, None, :] * (cols == j).astype(dt)
+                if j + 1 < p:
+                    a = a - col[:, None, :] * col[None, :, :]
+            return l
+
+        l = run(factors[0])
+        f = jnp.full(js.shape, factors[0], dtype=dt)
+        for fac in factors[1:]:
+            # escalate only the lanes whose factorization went indefinite;
+            # the retry is recomputed entirely in VMEM (no extra HBM pass)
+            bad = jnp.any(jnp.isnan(l), axis=(0, 1))  # [Bc]
+            l = jnp.where(bad[None, None, :], run(fac), l)
+            f = jnp.where(bad, jnp.full_like(f, fac), f)
+        l_ref[:] = l
+        f_ref[0, :] = f
 
     return kernel
 
@@ -209,6 +250,46 @@ def _from_lanes(x_t: jnp.ndarray, batch: tuple[int, ...]) -> jnp.ndarray:
     return x.reshape(batch + x.shape[1:]) if batch else x[0]
 
 
+def _cholesky_jittered_lanes(mat_t: jnp.ndarray, jit_t: jnp.ndarray,
+                             factors: tuple[float, ...]
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused jittered Cholesky on ``[P, P, B]`` + per-matrix jitter ``[B]``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = mat_t.shape[0]
+    # the retry loop keeps a0 plus a working copy and the result live
+    bc = _batch_chunk(p, buffers=8)
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        bc = min(bc, 256)
+    mat_t, b = _pad_batch(mat_t, bc, fill_eye=True)
+    jit_t = jnp.pad(jit_t, (0, mat_t.shape[-1] - b))[None, :]  # [1, Bpad]
+    grid = (mat_t.shape[-1] // bc,)
+    l, f = pl.pallas_call(
+        _chol_jittered_kernel(p, factors),
+        out_shape=(
+            jax.ShapeDtypeStruct(mat_t.shape, mat_t.dtype),
+            jax.ShapeDtypeStruct(jit_t.shape, jit_t.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((p, p, bc), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((p, p, bc), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(mat_t, jit_t)
+    return l[..., :b], f[0, :b]
+
+
 # ---------------------------------------------------------------------------
 # public, differentiable entry points
 # ---------------------------------------------------------------------------
@@ -250,6 +331,51 @@ def _cholesky_bwd(l, lbar):
 
 
 cholesky.defvjp(_cholesky_fwd, _cholesky_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def cholesky_jittered(mat: jnp.ndarray, jit_diag: jnp.ndarray,
+                      factors: tuple[float, ...] = (1.0, 1e2, 1e4)
+                      ) -> jnp.ndarray:
+    """Lower Cholesky of ``mat + f*jit_diag*I`` with in-kernel escalation.
+
+    ``jit_diag`` is one jitter magnitude per matrix (``[...]`` matching
+    ``mat``'s batch shape). The factorization first runs with
+    ``f = factors[0]``; any batch member that comes out indefinite (NaN) is
+    recomputed with the next factor, entirely inside VMEM — one kernel
+    launch and one HBM round-trip replace the launch-per-retry escalation
+    (see tree/sweep.py ``_chol``, replacing the reference's eigh-abs PSD
+    repair at pyMRA/MRANode.py:504-507).
+    """
+    l, _ = _cholesky_jittered_pair(mat, jit_diag, factors)
+    return l
+
+
+def _cholesky_jittered_pair(mat, jit_diag, factors):
+    mat_t, batch = _to_lanes(mat)
+    jit_flat = jnp.broadcast_to(jit_diag, batch).reshape(-1) if batch else (
+        jnp.broadcast_to(jit_diag, (1,)))
+    l_t, f_flat = _cholesky_jittered_lanes(mat_t, jit_flat.astype(mat.dtype),
+                                           tuple(float(f) for f in factors))
+    l = _from_lanes(l_t, batch)
+    f = f_flat.reshape(batch) if batch else f_flat[0]
+    return l, f
+
+
+def _cholesky_jittered_fwd(mat, jit_diag, factors):
+    l, f = _cholesky_jittered_pair(mat, jit_diag, factors)
+    return l, (l, f)
+
+
+def _cholesky_jittered_bwd(factors, res, lbar):
+    l, f = res
+    abar, = _cholesky_bwd(l, lbar)
+    # mat' = mat + (f * jit) I  =>  jitbar = f * trace(abar)
+    jbar = f * jnp.trace(abar, axis1=-2, axis2=-1)
+    return abar, jbar
+
+
+cholesky_jittered.defvjp(_cholesky_jittered_fwd, _cholesky_jittered_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -10,7 +10,11 @@ import numpy as np
 import pytest
 from jax.scipy.linalg import solve_triangular
 
-from pymra_tpu.ops.pallas.linalg import cholesky, solve_triangular_batched
+from pymra_tpu.ops.pallas.linalg import (
+    cholesky,
+    cholesky_jittered,
+    solve_triangular_batched,
+)
 
 
 def _spd(key, b, p, dtype=jnp.float32):
@@ -94,6 +98,47 @@ def test_triangular_solve_gradient_matches_jnp(transpose):
                                np.asarray(jnp.tril(g2[0])),
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_cholesky_jittered_matches_reference_escalation():
+    # one well-conditioned member, one needing the base jitter, one needing
+    # the 100x escalation
+    p = 5
+    good = _spd(jax.random.key(7), 1, p)[0]
+    ones = jnp.ones((p, p), dtype=jnp.float32)  # rank-1 PSD, singular
+    neg = ones - 1e-4 * jnp.eye(p)  # indefinite beyond the base jitter
+    m = jnp.stack([good, ones, neg])
+    jit = jnp.full((3,), 1e-6, dtype=jnp.float32)
+    got = cholesky_jittered(m, jit)
+    assert not np.isnan(np.asarray(got)).any()
+    # reference semantics: escalate by 1e2 / 1e4 on NaN
+    def ref(mat, j):
+        eye = jnp.eye(p, dtype=jnp.float32)
+        c = jnp.linalg.cholesky(mat + j * eye)
+        for f in (1e2, 1e4):
+            bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[..., None, None]
+            c = jnp.where(bad, jnp.linalg.cholesky(mat + f * j * eye), c)
+        return c
+    want = ref(m, jit[:, None, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_cholesky_jittered_gradient():
+    m = _spd(jax.random.key(8), 3, 4)
+    jit = jnp.full((3,), 1e-5, dtype=jnp.float32)
+
+    def f_pallas(x):
+        return jnp.sum(jnp.sin(cholesky_jittered(x, jit)))
+
+    def f_jnp(x):
+        return jnp.sum(jnp.sin(jnp.linalg.cholesky(
+            x + 1e-5 * jnp.eye(4, dtype=jnp.float32))))
+
+    g1 = jax.grad(f_pallas)(m)
+    g2 = jax.grad(f_jnp)(m)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-4)
 
 
