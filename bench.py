@@ -43,8 +43,12 @@ def main():
     dplan = model.dplan
     jitter = model.jitter
 
+    # NOTE: dplan/y are jit *arguments*, not closure constants — embedding
+    # device arrays as constants forces a device->host fetch of every plan
+    # array during MLIR lowering, which stalls for minutes through the
+    # remote-TPU tunnel of this environment (and bloats the module anywhere).
     @jax.jit
-    def evaluate(l_scale):
+    def evaluate(l_scale, dplan, y):
         kern = Kernel("exponential", l=l_scale)
         res = mra_sweep(dplan, kern, y, 1e-4, compute_posterior=True,
                         jitter=jitter)
@@ -52,14 +56,14 @@ def main():
 
     # compile + warmup
     t0 = time.time()
-    obj, mean, var = evaluate(jnp.asarray(2.0, dtype=model.dtype))
+    obj, mean, var = evaluate(jnp.asarray(2.0, dtype=model.dtype), dplan, y)
     obj.block_until_ready()
     compile_s = time.time() - t0
 
     ls = np.linspace(1.5, 2.5, 20)
     t0 = time.time()
     for l in ls:
-        obj, mean, var = evaluate(jnp.asarray(l, dtype=model.dtype))
+        obj, mean, var = evaluate(jnp.asarray(l, dtype=model.dtype), dplan, y)
     obj.block_until_ready()
     mean.block_until_ready()
     elapsed = time.time() - t0

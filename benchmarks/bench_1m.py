@@ -37,15 +37,19 @@ def main(r=8, M=-1):
 
     dplan = model.dplan
     yj = jnp.asarray(y)
+    jitter = model.jitter
 
+    # dplan/yj as jit arguments (not closure constants): constants would be
+    # fetched device->host array-by-array during lowering, which stalls
+    # through this environment's remote-TPU tunnel.
     @jax.jit
-    def evaluate(l):
+    def evaluate(l, dplan, yj):
         res = mra_sweep(dplan, Kernel("exponential", l=l), yj, 1e-2,
-                        compute_posterior=True, jitter=model.jitter)
+                        compute_posterior=True, jitter=jitter)
         return res.objective, res.mean
 
     t0 = time.time()
-    obj, mean = evaluate(jnp.float32(0.05))
+    obj, mean = evaluate(jnp.float32(0.05), dplan, yj)
     obj.block_until_ready()
     t_compile = time.time() - t0
     print(f"# compile+first: {t_compile:.1f}s", file=sys.stderr)
@@ -53,7 +57,7 @@ def main(r=8, M=-1):
     n_evals = 10
     t0 = time.time()
     for l in np.linspace(0.04, 0.06, n_evals):
-        obj, mean = evaluate(jnp.float32(l))
+        obj, mean = evaluate(jnp.float32(l), dplan, yj)
     obj.block_until_ready()
     mean.block_until_ready()
     dt = time.time() - t0

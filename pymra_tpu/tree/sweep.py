@@ -200,14 +200,25 @@ def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
     scale = scale[..., None, None] + 1.0
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
     chol = _chol_impl(mat + (jitter * scale) * eye)
+
     # escalate for the (rare) batch members whose block is numerically
     # indefinite beyond the base jitter — e.g. near-duplicate fine-scale
-    # points deep in the tree; keeps the base regularization unbiased
-    for factor in (1e2, 1e4):
-        bad = jnp.any(jnp.isnan(chol), axis=(-2, -1))[..., None, None]
-        retry = _chol_impl(mat + (jitter * factor * scale) * eye)
-        chol = jnp.where(bad, retry, chol)
-    return chol
+    # points deep in the tree; keeps the base regularization unbiased.
+    # The escalation lives behind a lax.cond so the two retry factorizations
+    # only execute when some batch member actually failed — on the hot
+    # (non-vmapped) likelihood path the common all-finite case pays for one
+    # Cholesky launch instead of three. Under vmap the cond lowers to
+    # both-branch select, which is exactly the old unconditional cascade.
+    def _escalate(c):
+        for factor in (1e2, 1e4):
+            bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[..., None, None]
+            retry = _chol_impl(mat + (jitter * factor * scale) * eye)
+            c = jnp.where(bad, retry, c)
+        return c
+
+    return jax.lax.cond(
+        jnp.any(jnp.isnan(chol)), _escalate, lambda c: c, chol
+    )
 
 
 def _logdiag_sum(chol: jnp.ndarray) -> jnp.ndarray:
