@@ -6,24 +6,38 @@ M=5, J=4, exponential covariance. The reference CPU baseline is one full
 build+likelihood+predict in 115 s serial (74.2 s fork-parallel on 2 cores),
 i.e. ~0.0087 evals/s.
 
-Here the tree is planned once (host) and each evaluation re-runs the full
-numeric sweep — likelihood AND posterior mean/sd — with *different* kernel
-hyper-parameters each time (as an MLE/HMC loop would), so XLA cannot cache
-anything across evaluations beyond the compiled program.
+The tree is planned once (host) and each evaluation re-runs the full numeric
+sweep — likelihood AND posterior mean/sd — with *different* kernel
+hyper-parameters each time (as an MLE/HMC loop would).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing is *chained*: K sweeps run sequentially inside one jitted
+``lax.fori_loop`` with a data dependency between iterations, and one scalar
+is fetched at the end (``utils.profiling.chained_throughput``). On this
+environment's remote-TPU platform ``block_until_ready`` can return before
+execution completes, so a naive loop measures dispatch rate — round 1
+published a 7x inflated number that way (VERDICT r1). The dispatch rate is
+still reported, clearly labeled, in the trailing comment.
+
+Also runs the N=1M flagship config (1000x1000 grid, r=8) and reports it in
+the ``extra`` field so the driver's BENCH_r*.json captures it.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-BASELINE_EVALS_PER_SEC = 1.0 / 115.0  # reference serial, BASELINE.md
+BASELINE_EVALS_PER_SEC = 1.0 / 115.0  # reference serial at N=10^4, BASELINE.md
+# reference O(N) extrapolation to N=10^6: 115 s * 100 per eval
+BASELINE_1M_EVALS_PER_SEC = 1.0 / 11500.0
 
 
-def main():
+def _bench_n10k():
     import jax
     import jax.numpy as jnp
 
@@ -32,6 +46,7 @@ def main():
     from pymra_tpu.tree.model import MRAModel
     from pymra_tpu.tree.plan import PlanConfig
     from pymra_tpu.tree.sweep import mra_sweep
+    from pymra_tpu.utils.profiling import chained_throughput
 
     locs, y_obs = load_data("large")
     t0 = time.time()
@@ -43,48 +58,101 @@ def main():
     dplan = model.dplan
     jitter = model.jitter
 
-    # NOTE: dplan/y are jit *arguments*, not closure constants — embedding
-    # device arrays as constants forces a device->host fetch of every plan
-    # array during MLIR lowering, which stalls for minutes through the
-    # remote-TPU tunnel of this environment (and bloats the module anywhere).
-    @jax.jit
     def evaluate(l_scale, dplan, y):
         kern = Kernel("exponential", l=l_scale)
         res = mra_sweep(dplan, kern, y, 1e-4, compute_posterior=True,
                         jitter=jitter)
         return res.objective, res.mean, res.var
 
-    # compile + warmup
-    t0 = time.time()
-    obj, mean, var = evaluate(jnp.asarray(2.0, dtype=model.dtype), dplan, y)
-    obj.block_until_ready()
-    compile_s = time.time() - t0
+    thetas = jnp.asarray(np.linspace(1.5, 2.5, 33), dtype=model.dtype)
+    stats = chained_throughput(evaluate, thetas, dplan, y, n_evals=32)
+    stats["plan_s"] = plan_s
+    return stats
 
-    ls = np.linspace(1.5, 2.5, 20)
-    t0 = time.time()
-    for l in ls:
-        obj, mean, var = evaluate(jnp.asarray(l, dtype=model.dtype), dplan, y)
-    obj.block_until_ready()
-    mean.block_until_ready()
-    elapsed = time.time() - t0
-    evals_per_sec = len(ls) / elapsed
 
-    result = {
-        "metric": "mra_likelihood_predict_evals_per_sec_n10k",
-        "value": round(evals_per_sec, 3),
-        "unit": "evals/s",
-        "vs_baseline": round(evals_per_sec / BASELINE_EVALS_PER_SEC, 1),
+def _bench_n1m(r=8):
+    import jax
+    import jax.numpy as jnp
+
+    from pymra_tpu.kernels import Kernel
+    from pymra_tpu.tree.model import MRAModel
+    from pymra_tpu.tree.plan import PlanConfig
+    from pymra_tpu.tree.sweep import mra_sweep
+    from pymra_tpu.utils.locations import gen_locations_2d
+    from pymra_tpu.utils.profiling import chained_throughput
+
+    locs = gen_locations_2d(1000)
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(len(locs)).astype(np.float32)
+    y[rng.random(len(locs)) > 0.9] = np.nan
+
+    t0 = time.time()
+    model = MRAModel(locs, r=r, dtype=jnp.float32,
+                     config=PlanConfig(r=r, kmeans_impl="native"))
+    plan_s = time.time() - t0
+
+    dplan = model.dplan
+    yj = jnp.asarray(y)
+    jitter = model.jitter
+
+    def evaluate(l, dplan, yj):
+        res = mra_sweep(dplan, Kernel("exponential", l=l), yj, 1e-2,
+                        compute_posterior=True, jitter=jitter)
+        return res.objective, res.mean, res.var
+
+    thetas = jnp.asarray(np.linspace(0.04, 0.06, 9), dtype=model.dtype)
+    stats = chained_throughput(evaluate, thetas, dplan, yj, n_evals=8)
+    stats["plan_s"] = plan_s
+    return stats
+
+
+def main():
+    import jax
+
+    s10k = _bench_n10k()
+    eps = s10k["evals_per_sec"]
+
+    extra = {
+        "n10k_dispatch_evals_per_sec": round(s10k["dispatch_evals_per_sec"], 1),
+        "n10k_per_eval_ms": round(1000 * s10k["per_eval_s"], 3),
     }
-    print(json.dumps(result))
-    # auxiliary detail on stderr-ish (still stdout but after the JSON line)
-    import sys
+    if os.environ.get("PYMRA_BENCH_SKIP_1M", "0") != "1":
+        try:
+            s1m = _bench_n1m()
+            extra["n1M_evals_per_sec"] = round(s1m["evals_per_sec"], 3)
+            extra["n1M_per_eval_ms"] = round(1000 * s1m["per_eval_s"], 1)
+            extra["n1M_vs_baseline"] = round(
+                s1m["evals_per_sec"] / BASELINE_1M_EVALS_PER_SEC, 1
+            )
+        except Exception as e:  # never lose the headline to the stretch run
+            extra["n1M_error"] = repr(e)[:200]
+            s1m = None
+    else:
+        s1m = None
 
+    print(json.dumps({
+        "metric": "mra_likelihood_predict_evals_per_sec_n10k",
+        "value": round(eps, 3),
+        "unit": "evals/s",
+        "vs_baseline": round(eps / BASELINE_EVALS_PER_SEC, 1),
+        "extra": extra,
+    }))
     print(
-        f"# plan {plan_s:.1f}s, compile {compile_s:.1f}s, "
-        f"{len(ls)} evals in {elapsed:.2f}s on {jax.devices()[0].platform}, "
-        f"objective@l=2.5: {float(obj):.2f}",
+        f"# n10k: plan {s10k['plan_s']:.1f}s, compile {s10k['compile_s']:.1f}s,"
+        f" chained {s10k['n_evals']} evals in {s10k['chain_s']:.2f}s"
+        f" ({1000 * s10k['per_eval_s']:.2f} ms/eval device-sequential;"
+        f" naive dispatch-rate would claim"
+        f" {s10k['dispatch_evals_per_sec']:.0f}/s)"
+        f" on {jax.devices()[0].platform}",
         file=sys.stderr,
     )
+    if s1m is not None:
+        print(
+            f"# n1M: plan {s1m['plan_s']:.1f}s, compile {s1m['compile_s']:.1f}s,"
+            f" chained {s1m['n_evals']} evals in {s1m['chain_s']:.2f}s"
+            f" ({1000 * s1m['per_eval_s']:.1f} ms/eval)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

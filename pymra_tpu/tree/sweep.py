@@ -187,6 +187,10 @@ def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
     regularization (and bias log-determinants). This replaces the
     reference's eigh/absolute-value PSD repair (MRANode.py:504-507, SURVEY
     quirk #10).
+
+    The jitter scale is ``stop_gradient``-ed: the regularizer is structural,
+    and differentiating through its diagonal coupling adds O(jitter) noise
+    to hyper-parameter gradients for no statistical benefit.
     """
     if not jitter:
         return _chol_impl(mat)
@@ -197,28 +201,51 @@ def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
     # one kernel launch, but measured *slower* on v5e (1.80 vs 1.58 ms/eval
     # at N=10k): the unconditional 3x in-VMEM recompute and smaller lane
     # chunks lose to three well-pipelined launches. Kept as a library op.
-    scale = scale[..., None, None] + 1.0
+    scale = jax.lax.stop_gradient(scale)[..., None, None] + 1.0
+    return _chol_cascade(mat, jnp.asarray(jitter, mat.dtype) * scale)
+
+
+@jax.custom_jvp
+def _chol_cascade(mat: jnp.ndarray, jit_scale: jnp.ndarray) -> jnp.ndarray:
+    """Jitter-escalating batched Cholesky (primal).
+
+    Factorizes ``mat + jit_scale*I``; batch members that come back NaN
+    (numerically indefinite — e.g. near-duplicate fine-scale points deep in
+    the tree) are retried at 1e2x and 1e4x jitter, per-member, via
+    ``jnp.where`` selects. Everything here is elementwise/batched — no
+    ``lax.cond`` — so it composes with ``vmap``-over-chains inside a
+    ``shard_map``-over-data mesh (the flagship multi-chip configuration;
+    a cond predicate would be varying over the chain mesh axis and is
+    rejected by JAX).
+
+    Differentiation is NOT traced through this cascade: the custom JVP below
+    linearizes against the final selected factor only, so an escalated (or
+    still-NaN) member's discarded factorizations can never poison the
+    gradients of healthy batch members through the Cholesky pullback.
+    """
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
-    chol = _chol_impl(mat + (jitter * scale) * eye)
+    c = _chol_impl(mat + jit_scale * eye)
+    for factor in (1e2, 1e4):
+        bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[..., None, None]
+        retry = _chol_impl(mat + (factor * jit_scale) * eye)
+        c = jnp.where(bad, retry, c)
+    return c
 
-    # escalate for the (rare) batch members whose block is numerically
-    # indefinite beyond the base jitter — e.g. near-duplicate fine-scale
-    # points deep in the tree; keeps the base regularization unbiased.
-    # The escalation lives behind a lax.cond so the two retry factorizations
-    # only execute when some batch member actually failed — on the hot
-    # (non-vmapped) likelihood path the common all-finite case pays for one
-    # Cholesky launch instead of three. Under vmap the cond lowers to
-    # both-branch select, which is exactly the old unconditional cascade.
-    def _escalate(c):
-        for factor in (1e2, 1e4):
-            bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[..., None, None]
-            retry = _chol_impl(mat + (jitter * factor * scale) * eye)
-            c = jnp.where(bad, retry, c)
-        return c
 
-    return jax.lax.cond(
-        jnp.any(jnp.isnan(chol)), _escalate, lambda c: c, chol
-    )
+@_chol_cascade.defjvp
+def _chol_cascade_jvp(primals, tangents):
+    # dL = L * Phi(L^-1 dA L^-T), Phi = strictly-lower + half-diagonal —
+    # the standard Cholesky differential, evaluated at the cascade's final
+    # factor. jit_scale is treated as a constant regularizer (its tangent,
+    # already zeroed by stop_gradient upstream, is ignored).
+    mat, jit_scale = primals
+    dmat, _ = tangents
+    L = _chol_cascade(mat, jit_scale)
+    half = solve_triangular(L, dmat, lower=True)  # L^-1 dA
+    W = solve_triangular(L, jnp.swapaxes(half, -1, -2), lower=True)
+    phi = jnp.tril(W) / (1.0 + jnp.eye(W.shape[-1], dtype=W.dtype))
+    dL = L @ phi
+    return L, dL
 
 
 def _logdiag_sum(chol: jnp.ndarray) -> jnp.ndarray:

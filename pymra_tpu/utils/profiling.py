@@ -16,7 +16,8 @@ import contextlib
 import time
 from collections import defaultdict
 
-__all__ = ["PhaseTimer", "trace_annotation", "profile_to"]
+__all__ = ["PhaseTimer", "trace_annotation", "profile_to",
+           "chained_throughput"]
 
 
 class PhaseTimer:
@@ -61,6 +62,95 @@ class PhaseTimer:
     def as_dict(self) -> dict:
         return {k: {"total_s": v, "calls": self.counts[k]}
                 for k, v in self.totals.items()}
+
+
+def chained_throughput(eval_fn, thetas, *args, n_evals: int = 20,
+                       perturb: float = 1e-20):
+    """Honest device throughput for ``eval_fn``, in evaluations/second.
+
+    On this environment's remote-TPU platform ``block_until_ready`` can
+    return before execution finishes, so naive timing loops measure
+    *dispatch* rate, not compute rate (round-1 VERDICT finding: a 7x
+    inflated headline). This helper compiles ONE program that runs ``n``
+    evaluations strictly sequentially inside a ``lax.fori_loop`` with a data
+    dependency between iterations — iteration ``i`` uses
+    ``thetas[i] + perturb * acc(previous outputs)``, so XLA cannot
+    parallelize, cache, or dead-code-eliminate any of them — and fetches one
+    scalar at the end. Wall clock therefore necessarily covers ``n``
+    dependent device executions plus one dispatch+fetch, which is measured
+    separately at n=1 and subtracted.
+
+    Args:
+      eval_fn: ``(theta_scalar, *args) -> pytree of arrays`` — the work to
+        time (e.g. a full MRA sweep at hyper-parameter ``theta``). Every
+        output leaf is folded into the chain's accumulator so nothing is
+        DCE'd.
+      thetas: 1-D array of per-iteration parameter values (length >=
+        ``n_evals + 1``), as an MLE/HMC loop would use.
+      *args: additional (traced) arguments forwarded to ``eval_fn``.
+      n_evals: chain length for the timed measurement.
+      perturb: data-dependency coupling; small enough to not change results,
+        structurally impossible for the compiler to elide.
+
+    Returns:
+      dict with ``evals_per_sec`` (chained, honest), ``per_eval_s``,
+      ``compile_s``, ``overhead_s`` (single-eval dispatch+fetch+run) and
+      ``dispatch_evals_per_sec`` (the naive enqueue-rate number, reported
+      for transparency, never as the headline).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    thetas = jnp.asarray(thetas)
+    assert thetas.shape[0] >= n_evals + 1
+
+    def run(n, thetas, *args):
+        dtype = thetas.dtype
+
+        def body(i, acc):
+            theta = thetas[i] + jnp.asarray(perturb, dtype) * acc
+            out = eval_fn(theta, *args)
+            for leaf in jax.tree.leaves(out):
+                acc = acc + jnp.sum(leaf).astype(dtype)
+            return acc
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), dtype))
+
+    run_j = jax.jit(run)
+
+    t0 = time.perf_counter()
+    float(run_j(1, thetas, *args))  # compile + first execution
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    float(run_j(1, thetas, *args))
+    overhead_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    float(run_j(1 + n_evals, thetas, *args))
+    chain_s = time.perf_counter() - t0
+
+    per_eval = max(chain_s - overhead_s, 1e-12) / n_evals
+
+    # naive dispatch rate (what a block_until_ready loop would report here)
+    single = jax.jit(lambda th, *a: eval_fn(th, *a))
+    out = single(thetas[0], *args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n_evals):
+        out = single(thetas[i], *args)
+    jax.block_until_ready(out)
+    dispatch_s = time.perf_counter() - t0
+
+    return {
+        "evals_per_sec": 1.0 / per_eval,
+        "per_eval_s": per_eval,
+        "compile_s": compile_s,
+        "overhead_s": overhead_s,
+        "chain_s": chain_s,
+        "n_evals": n_evals,
+        "dispatch_evals_per_sec": n_evals / dispatch_s,
+    }
 
 
 @contextlib.contextmanager

@@ -1,0 +1,99 @@
+"""Hard-coded golden parity anchors (BASELINE.md), standalone.
+
+Round 1 computed parity live against the ``/root/reference`` checkout, which
+means parity evaporates wherever that checkout is absent (VERDICT r1 #6).
+These tests hard-code the verified BASELINE.md numbers and regenerate the
+input data from its exact recipe (legacy ``RandomState`` streams are
+stability-guaranteed by NumPy), so they run anywhere.
+
+Anchors:
+  * README MLE config (pyMRA/README.md:55-95 recipe, seed 11, ExpCovFun
+    l=0.3): reference ``getLikelihood()`` = -37.13999707066677 (BASELINE.md,
+    re-verified live this round to 1e-12).
+  * our bundled ``small`` dataset under the README example config
+    (README.md:25-35): objective frozen at first verified value.
+  * the 1M-location f64 ground truth (gated by PYMRA_RUN_1M=1 — several
+    minutes on CPU).
+"""
+import os
+
+import numpy as np
+import pytest
+import scipy.linalg as lng
+from scipy.spatial.distance import cdist
+
+from pymra_tpu import kernels
+from pymra_tpu.tree.model import MRAModel
+from pymra_tpu.utils import gen_locations
+
+#: reference getLikelihood() on the README MLE config — BASELINE.md, also
+#: reproduced live against /root/reference this session (-37.13999707066677)
+README_1D_OBJECTIVE = -37.13999707066677
+
+#: our framework's f64 objective on our bundled `small` dataset with the
+#: README example config (r0=4, ExpCovFun l=2, me=1e-4); frozen 2026-08-20
+#: after verifying the same code path matches the reference to 1e-6 rtol on
+#: the reference's own bundled data (tests/test_reference_parity.py)
+BUNDLED_SMALL_OBJECTIVE = 980.7643506591266
+
+#: exact dense-GP f64 objective at N=1e6 is infeasible; this anchors the
+#: MRA f64 objective itself (VERDICT r1 item 4's 1M ground-truth anchor)
+N1M_OBJECTIVE = 26_690_586.78
+
+
+def _readme_1d_data():
+    """The reference README's exact simulation recipe (README.md:55-95):
+    seed 11, 1-D grid of 100, exponential covariance l=0.3 (upper-Cholesky
+    draw), me_scale=1e-2, 40% observed."""
+    rs = np.random.RandomState(11)
+    locs = np.asarray(gen_locations(100), dtype=np.float64)
+    Sig = np.exp(-cdist(locs, locs) / 0.3)
+    U = lng.cholesky(Sig)  # upper: Sig = U^T U, so x = U^T z ~ N(0, Sig)
+    x = U.T @ rs.normal(size=(100, 1))
+    y = x + np.sqrt(1e-2) * rs.normal(size=(100, 1))
+    obs = np.sort(rs.choice(100, 40, replace=False))
+    y_obs = np.full(100, np.nan)
+    y_obs[obs] = y[obs, 0]
+    return locs, y_obs
+
+
+class TestGoldenAnchors:
+    def test_readme_1d_objective(self):
+        locs, y_obs = _readme_1d_data()
+        model = MRAModel(locs, r=2, M=3, J=3)
+        res = model.sweep(kernels.Kernel("exponential", l=0.3), y_obs, 1e-2)
+        np.testing.assert_allclose(
+            float(res.objective), README_1D_OBJECTIVE, rtol=1e-9
+        )
+
+    def test_bundled_small_objective(self):
+        from pymra_tpu.data.loader import load_data
+
+        locs, y_obs = load_data("small")
+        model = MRAModel(locs, r=4)
+        res = model.sweep(kernels.Kernel("exponential", l=2.0), y_obs, 1e-4)
+        np.testing.assert_allclose(
+            float(res.objective), BUNDLED_SMALL_OBJECTIVE, rtol=1e-10
+        )
+
+    @pytest.mark.skipif(
+        os.environ.get("PYMRA_RUN_1M", "0") != "1",
+        reason="several minutes of f64 CPU compute; set PYMRA_RUN_1M=1",
+    )
+    def test_1m_objective(self):
+        import jax.numpy as jnp
+
+        from pymra_tpu.tree.plan import PlanConfig
+        from pymra_tpu.utils.locations import gen_locations_2d
+
+        locs = gen_locations_2d(1000)
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal(len(locs))
+        y[rng.random(len(locs)) > 0.9] = np.nan
+        model = MRAModel(locs, r=8, dtype=jnp.float64,
+                         config=PlanConfig(r=8, kmeans_impl="native"))
+        res = model.sweep(kernels.Kernel("exponential", l=0.05), y, 1e-2,
+                          compute_posterior=False)
+        np.testing.assert_allclose(
+            float(res.objective), N1M_OBJECTIVE, rtol=1e-5
+        )

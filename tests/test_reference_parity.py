@@ -72,9 +72,15 @@ class TestLiveParity:
         ref = RefMRATree(
             locs, 4, covf, y_obs.reshape(-1, 1).copy(), 1e-4
         )
-        np.testing.assert_allclose(
-            float(res.objective), float(ref.getLikelihood()), rtol=1e-6
-        )
+        ref_obj = float(ref.getLikelihood())
+        np.testing.assert_allclose(float(res.objective), ref_obj, rtol=1e-6)
+        # NOTE: BASELINE.md records 914.4418 for this config, but that value
+        # is an artifact of the measuring session's sklearn-KMeans shim: 2-D
+        # knot selection snaps to KMeans centers (MRANode.py:195-202), so
+        # the objective depends on the clustering implementation. This
+        # session's reference run gives 966.7985 with our Lloyd shim. The
+        # invariant worth anchoring is live agreement (asserted above) plus
+        # the deterministic 1-D anchor (tests/test_golden_anchors.py).
         x_ref, sd_ref = ref.predict()
         scale = np.abs(np.asarray(x_ref)).max()
         np.testing.assert_allclose(

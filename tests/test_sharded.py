@@ -81,6 +81,66 @@ class TestShardedEquivalence:
             float(g_shd.params["l"]), float(g_ref.params["l"]), rtol=1e-9
         )
 
+    def test_chain_by_data_mesh_vmap_grad(self):
+        """The flagship 2-D mesh: vmap(grad) over chains INSIDE a shard_map
+        over data — exactly ``__graft_entry__.dryrun_multichip``'s
+        composition, which round 1 shipped broken (a ``lax.cond`` in
+        ``_chol`` whose predicate varied over the chain mesh axis). Uses
+        jitter > 0 so the escalation cascade is traced."""
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from pymra_tpu.parallel.sharded import _plan_specs, pad_plan_for_sharding
+        from pymra_tpu.tree.sweep import mra_sweep
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh({"chain": 2, "data": 4})
+        locs = gen_locations_2d(12)
+        y = _data(locs, kernels.Kernel("matern32", l=0.3, sig=1.0), 9)
+        model = MRAModel(locs, r=2, M=2, J=4)
+        dplan = pad_plan_for_sharding(model.dplan, 4)
+        r_diag = jnp.full((model.plan.n_locs,), 1e-2, dtype=model.dtype)
+        thetas = {"log_l": jnp.linspace(-2.0, -0.5, 4, dtype=model.dtype),
+                  "log_sig": jnp.zeros(4, dtype=model.dtype)}
+
+        def chain_loglik(theta, dp, yy, rr):
+            kern = kernels.Kernel("matern32", l=jnp.exp(theta["log_l"]),
+                                  sig=jnp.exp(theta["log_sig"]))
+            return mra_sweep(dp, kern, yy, rr, compute_posterior=False,
+                             jitter=1e-8, axis_name="data").loglik
+
+        def train_step(th, dp, yy, rr):
+            grads = jax.vmap(
+                jax.grad(lambda t: chain_loglik(t, dp, yy, rr))
+            )(th)
+            return jax.tree.map(lambda t, g: t + 1e-3 * g, th, grads)
+
+        stepped = jax.jit(
+            shard_map(
+                train_step, mesh=mesh,
+                in_specs=(P("chain"), _plan_specs(dplan, "data"), P(), P()),
+                out_specs=P("chain"),
+            )
+        )(thetas, dplan, jnp.asarray(y, model.dtype), r_diag)
+        out = jax.tree.map(np.asarray, stepped)
+        assert np.all(np.isfinite(out["log_l"]))
+        assert np.all(np.isfinite(out["log_sig"]))
+        # gradient parity with the unsharded path for one chain
+        theta0 = {"log_l": thetas["log_l"][0], "log_sig": thetas["log_sig"][0]}
+
+        def local_loglik(t):
+            kern = kernels.Kernel("matern32", l=jnp.exp(t["log_l"]),
+                                  sig=jnp.exp(t["log_sig"]))
+            return mra_sweep(model.dplan, kern, jnp.asarray(y, model.dtype),
+                             r_diag, compute_posterior=False,
+                             jitter=1e-8).loglik
+
+        g_local = jax.grad(local_loglik)(theta0)
+        expect = theta0["log_l"] + 1e-3 * g_local["log_l"]
+        np.testing.assert_allclose(out["log_l"][0], float(expect), rtol=1e-9)
+
     def test_jit_sharded(self, mesh8):
         locs = gen_locations_2d(12)
         kern = kernels.Kernel("exponential", l=0.4)

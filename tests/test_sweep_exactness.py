@@ -199,3 +199,80 @@ class TestFacade:
             np.asarray(kernels.exponential(locs, l=0.5)), y, 1e-3
         )
         np.testing.assert_allclose(tree.getLikelihood(), oracle["objective"], rtol=1e-8)
+
+
+class TestCholCascade:
+    """The jitter-escalating Cholesky (sweep._chol) — correctness and AD."""
+
+    def test_escalated_member_does_not_poison_healthy_grads(self):
+        """Round-1 ADVICE finding: when one batch member needs jitter
+        escalation, the discarded NaN factorization poisoned every member's
+        gradient through the Cholesky pullback. The custom JVP linearizes
+        against the final selected factor only."""
+        import jax.numpy as jnp
+
+        from pymra_tpu.tree.sweep import _chol
+
+        def make_batch(t):
+            good = jnp.eye(3) * t
+            # rank-1, strongly indefinite after base jitter: needs escalation
+            v = jnp.array([1.0, 1.0, 1.0])
+            bad = jnp.outer(v, v) - 1e-3 * jnp.eye(3)
+            return jnp.stack([good, bad])
+
+        def f(t):
+            c = _chol(make_batch(t), jitter=1e-10)
+            # reduce over the healthy member only
+            return jnp.sum(jnp.log(jnp.diagonal(c[0])))
+
+        g = jax.grad(f)(2.0)
+        assert np.isfinite(float(g))
+        # d/dt sum(log diag(chol(t*I))) = d/dt (3/2) log t = 1.5/t
+        np.testing.assert_allclose(float(g), 1.5 / 2.0, rtol=1e-6)
+
+    def test_escalated_member_itself_has_finite_grad(self):
+        import jax.numpy as jnp
+
+        from pymra_tpu.tree.sweep import _chol
+
+        def f(t):
+            v = jnp.array([1.0, 1.0, 1.0]) * t
+            # deficit 1e-5 recoverable at the 1e4x escalation of jitter=1e-8
+            bad = jnp.outer(v, v) - 1e-5 * jnp.eye(3)
+            c = _chol(bad[None], jitter=1e-8)
+            return jnp.sum(jnp.log(jnp.diagonal(c[0])))
+
+        val, g = jax.value_and_grad(f)(1.3)
+        assert np.isfinite(float(val)) and np.isfinite(float(g))
+
+    def test_matches_plain_cholesky_when_psd(self):
+        import jax.numpy as jnp
+
+        from pymra_tpu.tree.sweep import _chol
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((4, 5, 5))
+        mats = jnp.asarray(a @ np.swapaxes(a, -1, -2) + 5 * np.eye(5))
+        c = _chol(mats, jitter=0.0)
+        np.testing.assert_allclose(
+            np.asarray(c), np.linalg.cholesky(np.asarray(mats)), rtol=1e-12
+        )
+
+    def test_grad_matches_autodiff_of_plain_cholesky(self):
+        import jax.numpy as jnp
+
+        from pymra_tpu.tree.sweep import _chol
+
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((3, 4))
+        base = jnp.asarray(a.T @ a + 4 * np.eye(4))
+
+        def f_ours(s):
+            return jnp.sum(jnp.sin(_chol((base * s)[None], jitter=1e-12)))
+
+        def f_jnp(s):
+            return jnp.sum(jnp.sin(jnp.linalg.cholesky((base * s)[None])))
+
+        g0 = jax.grad(f_ours)(1.7)
+        g1 = jax.grad(f_jnp)(1.7)
+        np.testing.assert_allclose(float(g0), float(g1), rtol=1e-8)
