@@ -106,26 +106,22 @@ def matern(locs1, locs2=None, l=1.0, sig=1.0, nu=1.5, circular=False):
         return matern52(locs1, locs2, l=l, sig=sig, circular=circular)
     if nu == math.inf:
         return gaussian(locs1, locs2, l=l, sig=sig, circular=circular)
-    # general nu: host-side fallback via scipy's modified Bessel function
-    # (matches the reference's sklearn Matern wrapper, MRATools.py:273-277);
-    # only for concrete inputs — not differentiable/jittable on device
+    # general nu: device-native Temme-series / continued-fraction Bessel K
+    # (ops/special.py) — jittable and differentiable in l/sig/locs, unlike
+    # round 1's host-only scipy fallback. nu itself must be static: it
+    # selects the series order at trace time, exactly as the reference
+    # bakes nu into its sklearn kernel object (MRATools.py:273-277).
     import jax.core
 
-    if any(isinstance(a, jax.core.Tracer) for a in (locs1, locs2, l, sig)
-           if a is not None):
-        raise NotImplementedError(
-            f"matern(nu={nu}): arbitrary nu is host-only (scipy Bessel); "
-            "use nu in {0.5, 1.5, 2.5, inf} inside jit/grad."
+    if isinstance(nu, jax.core.Tracer):
+        raise TypeError(
+            "matern: nu must be a static Python float — it fixes the Bessel "
+            "recurrence depth at trace time (differentiate l/sig instead)."
         )
-    from scipy.special import gamma as _gamma
-    from scipy.special import kv as _kv
+    from pymra_tpu.ops.special import matern_general
 
-    d = np.asarray(dist(locs1, locs2, circular=circular), dtype=np.float64)
-    scaled = np.sqrt(2.0 * nu) * d / float(l)
-    safe = np.where(scaled == 0.0, 1.0, scaled)
-    vals = (2.0 ** (1.0 - nu) / _gamma(nu)) * safe**nu * _kv(nu, safe)
-    vals = np.where(scaled == 0.0, 1.0, vals)
-    return jnp.asarray(float(sig) * vals)
+    d = dist(locs1, locs2, circular=circular)
+    return matern_general(d, l, sig, float(nu))
 
 
 def kanter(locs1, locs2=None, radius=1.0, circular=False):
@@ -253,33 +249,43 @@ class Kernel:
     rebuilding any structure.
     """
 
+    #: parameters that select code structure at trace time (series order,
+    #: distance metric) — kept as static pytree aux data, never traced
+    STATIC_PARAMS = ("nu", "circular")
+
     def __init__(self, name: str, **params):
         self.name = name
+        self.static = {k: params.pop(k) for k in list(params)
+                       if k in self.STATIC_PARAMS}
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self._fn = get_kernel(name)
 
     def __call__(self, locs1, locs2=None):
-        return self._fn(locs1, locs2, **self.params)
+        return self._fn(locs1, locs2, **self.params, **self.static)
 
     def replace(self, **params) -> "Kernel":
         new = dict(self.params)
+        new.update(self.static)
         new.update(params)
         return Kernel(self.name, **new)
 
     def tree_flatten(self):
         keys = tuple(sorted(self.params))
-        return tuple(self.params[k] for k in keys), (self.name, keys)
+        static = tuple(sorted(self.static.items()))
+        return tuple(self.params[k] for k in keys), (self.name, keys, static)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         # must not touch leaves (they may be tracers, PartitionSpecs, etc.)
-        name, keys = aux
+        name, keys, static = aux
         obj = object.__new__(cls)
         obj.name = name
         obj.params = dict(zip(keys, leaves))
+        obj.static = dict(static)
         obj._fn = get_kernel(name)
         return obj
 
     def __repr__(self):
-        ps = ", ".join(f"{k}={v}" for k, v in self.params.items())
+        ps = ", ".join(f"{k}={v}" for k, v in
+                       {**self.params, **self.static}.items())
         return f"Kernel({self.name!r}, {ps})"

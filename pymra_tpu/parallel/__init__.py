@@ -1,4 +1,11 @@
-from pymra_tpu.parallel.mesh import Mesh, NamedSharding, P, make_mesh
+from pymra_tpu.parallel.mesh import (
+    Mesh,
+    NamedSharding,
+    P,
+    initialize_distributed,
+    make_mesh,
+    make_multihost_mesh,
+)
 from pymra_tpu.parallel.sharded import (
     pad_plan_for_sharding,
     sharded_loglik_fn,
@@ -7,6 +14,8 @@ from pymra_tpu.parallel.sharded import (
 
 __all__ = [
     "make_mesh",
+    "make_multihost_mesh",
+    "initialize_distributed",
     "Mesh",
     "NamedSharding",
     "P",

@@ -42,10 +42,11 @@ def _wrap_cov(cov) -> Callable:
 
 
 @functools.partial(jax.jit, static_argnames=("compute_posterior", "jitter"))
-def _sweep_jit(dplan, covfn, y, r_diag, compute_posterior, jitter):
+def _sweep_jit(dplan, covfn, y, r_diag, compute_posterior, jitter,
+               r_dense=None):
     return mra_sweep(
         dplan, covfn, y, r_diag,
-        compute_posterior=compute_posterior, jitter=jitter,
+        compute_posterior=compute_posterior, jitter=jitter, r_dense=r_dense,
     )
 
 
@@ -91,7 +92,18 @@ class MRAModel:
     # -- core evaluations ---------------------------------------------------
 
     def sweep(self, cov, y, R, compute_posterior: bool = True) -> SweepResult:
-        """Run the full batched sweep (likelihood + posterior moments)."""
+        """Run the full batched sweep (likelihood + posterior moments).
+
+        ``R`` may be a scalar, an ``[N]`` diagonal, or an ``[N, N]`` dense
+        measurement-error covariance (honored within each leaf block — the
+        reference's matrix-R slicing semantics, pyMRA/MRANode.py:85-88).
+        """
+        if np.ndim(R) == 2:
+            return _sweep_jit(
+                self.dplan, _wrap_cov(cov), jnp.asarray(y).ravel(),
+                jnp.ones((), dtype=self.dtype), compute_posterior,
+                self.jitter, r_dense=R,
+            )
         return _sweep_jit(
             self.dplan, _wrap_cov(cov), jnp.asarray(y).ravel(), R,
             compute_posterior, self.jitter,

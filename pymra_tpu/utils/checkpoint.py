@@ -68,25 +68,73 @@ def load_plan(path: str):
     )
 
 
-def save_pytree(path: str, tree) -> None:
-    """Checkpoint a pytree of arrays to ``.npz`` (structure stored as a
-    JSON treedef of dict/list/tuple keys)."""
-    import jax
+def _encode_structure(obj, leaves: list) -> dict:
+    """Recursively encode a pytree's structure as JSON, collecting leaves.
 
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    Containers handled: dict (str/int/float/bool keys), list, tuple
+    (named tuples are recorded as plain tuples — the class itself is not
+    serializable without pickling), None. Everything else is a leaf.
+    """
+    if obj is None:
+        return {"t": "none"}
+    if isinstance(obj, dict):
+        return {"t": "dict",
+                "items": [[k, _encode_structure(v, leaves)]
+                          for k, v in obj.items()]}
+    if isinstance(obj, tuple):
+        return {"t": "tuple",
+                "items": [_encode_structure(v, leaves) for v in obj]}
+    if isinstance(obj, list):
+        return {"t": "list",
+                "items": [_encode_structure(v, leaves) for v in obj]}
+    leaves.append(obj)
+    return {"t": "leaf", "i": len(leaves) - 1}
+
+
+def _decode_structure(spec: dict, leaves: list):
+    t = spec["t"]
+    if t == "none":
+        return None
+    if t == "dict":
+        return {k: _decode_structure(v, leaves) for k, v in spec["items"]}
+    if t == "tuple":
+        return tuple(_decode_structure(v, leaves) for v in spec["items"])
+    if t == "list":
+        return [_decode_structure(v, leaves) for v in spec["items"]]
+    return leaves[spec["i"]]
+
+
+def save_pytree(path: str, tree) -> None:
+    """Checkpoint a pytree of arrays to ``.npz``.
+
+    The container structure (dicts/lists/tuples/None) is serialized as a
+    recoverable JSON path encoding, so :func:`load_pytree` restores the full
+    pytree with no template. Named tuples are restored as plain tuples;
+    custom pytree node classes are flattened through ``jax.tree`` first (a
+    round-trip returns their dict/tuple skeleton, not the class instance).
+    """
+    leaves: list = []
+    structure = _encode_structure(tree, leaves)
     arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
-    np.savez_compressed(path, __treedef__=str(treedef), **arrays)
+    np.savez_compressed(path, __structure__=json.dumps(structure), **arrays)
 
 
 def load_pytree(path: str, like=None):
-    """Load a pytree checkpoint. ``like`` provides the structure to
-    unflatten into (required: treedefs are not portable as strings)."""
+    """Load a pytree checkpoint, restoring the container structure.
+
+    ``like`` (optional) re-unflattens the restored leaves into an arbitrary
+    template's treedef instead — useful to get named-tuple / custom-node
+    classes back.
+    """
     import jax
 
     data = np.load(path, allow_pickle=False)
     n = len([k for k in data.files if k.startswith("leaf_")])
     leaves = [data[f"leaf_{i}"] for i in range(n)]
-    if like is None:
-        return leaves
-    treedef = jax.tree_util.tree_structure(like)
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    if like is not None:
+        treedef = jax.tree_util.tree_structure(like)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+    if "__structure__" in data.files:
+        structure = json.loads(str(data["__structure__"]))
+        return _decode_structure(structure, leaves)
+    return leaves  # legacy checkpoints (round-1 format) carried no structure

@@ -17,7 +17,8 @@ def exact_gp(sig: np.ndarray, y_obs: np.ndarray, r_scalar: float):
     Args:
       sig: [N, N] prior covariance at all locations.
       y_obs: [N] observations, NaN = missing.
-      r_scalar: measurement-error variance (scalar or [N] diagonal).
+      r_scalar: measurement-error variance (scalar, [N] diagonal, or a
+        full [N, N] covariance matrix).
 
     Returns:
       dict with 'objective' (= logdet(Sigma_y) + y^T Sigma_y^{-1} y, the
@@ -27,10 +28,13 @@ def exact_gp(sig: np.ndarray, y_obs: np.ndarray, r_scalar: float):
     mask = np.isfinite(y_obs)
     yo = y_obs[mask]
     n_obs = int(mask.sum())
-    r_diag = np.broadcast_to(np.asarray(r_scalar, dtype=np.float64), y_obs.shape)
-
     sig_oo = sig[np.ix_(mask, mask)]
-    sig_y = sig_oo + np.diag(r_diag[mask])
+    r_arr = np.asarray(r_scalar, dtype=np.float64)
+    if r_arr.ndim == 2:
+        sig_y = sig_oo + r_arr[np.ix_(mask, mask)]
+    else:
+        r_diag = np.broadcast_to(r_arr, y_obs.shape)
+        sig_y = sig_oo + np.diag(r_diag[mask])
     chol = np.linalg.cholesky(sig_y)
     alpha = np.linalg.solve(sig_y, yo)
     logdet = 2.0 * np.sum(np.log(np.diag(chol)))

@@ -47,6 +47,27 @@ class TestCheckpoint:
             np.asarray(loaded["b"]["c"]), np.ones((2, 3))
         )
 
+    def test_pytree_roundtrip_without_template(self, tmp_path):
+        """Structure must be recoverable with no `like` template (round-1
+        VERDICT #7: str(treedef) is not deserializable)."""
+        tree = {
+            "params": {"l": jnp.asarray(0.3), "sig": jnp.ones(4)},
+            "trace": [jnp.zeros((2, 2)), (jnp.arange(3), None)],
+            7: jnp.asarray(1.5),
+        }
+        path = tmp_path / "state2.npz"
+        checkpoint.save_pytree(path, tree)
+        loaded = checkpoint.load_pytree(path)
+        assert set(loaded.keys()) == {"params", "trace", 7}
+        np.testing.assert_array_equal(
+            np.asarray(loaded["params"]["sig"]), np.ones(4)
+        )
+        assert isinstance(loaded["trace"], list)
+        inner = loaded["trace"][1]
+        assert isinstance(inner, tuple) and inner[1] is None
+        np.testing.assert_array_equal(np.asarray(inner[0]), np.arange(3))
+        np.testing.assert_allclose(float(loaded[7]), 1.5)
+
 
 class TestProfiling:
     def test_phase_timer(self):
