@@ -122,13 +122,19 @@ def make_stages(dplan, jitter):
             if n_leaf == 0:
                 continue
             X = lvl.leaf_locs
+            grp = 0
+            if m and dplan.groups is not None:
+                c_leaf, _, gn_leaf, _ = dplan.groups[m]
+                if c_leaf and n_leaf == gn_leaf:
+                    grp = c_leaf
             if m == 0:
                 C_own = covfn(X, X)
                 W = None
             else:
                 _, C_own, W = sw._chain_cond(
                     covfn, X, lvl.leaf_parent, chain_Q[m - 1],
-                    chain_GinvT[m - 1], jitter, chain_GLT=chain_GLT[m - 1])
+                    chain_GinvT[m - 1], jitter, chain_GLT=chain_GLT[m - 1],
+                    group=grp)
             B_own = C_own * lvl.leaf_is_knot.astype(X.dtype)[:, None, :]
             outs.append((m, lvl, W, B_own, C_own))
         return prior_L, outs

@@ -92,17 +92,26 @@ class DevicePlan:
 
     def __init__(self, levels: tuple[DeviceLevel, ...], n_locs: int, r: int,
                  M: int, compute_dtype: str = "float32",
-                 index_points: bool = False):
+                 index_points: bool = False,
+                 groups: tuple | None = None):
         self.levels = tuple(levels)
         self.n_locs = int(n_locs)
         self.r = int(r)
         self.M = int(M)
         self.compute_dtype = str(compute_dtype)
         self.index_points = bool(index_points)
+        #: per level, (c_leaf, c_int, n_leaf, n_int) when the level's nodes
+        #: are stored contiguously grouped under their parents with a
+        #: uniform child count c (c == 0 when not). Lets the sweep replace
+        #: per-node gathers of parent chain stashes with reshaped batched
+        #: matmuls (each parent tile read once instead of c times). None =
+        #: unknown (e.g. resharded plans), which disables the grouped path.
+        self.groups = tuple(groups) if groups is not None else None
 
     def tree_flatten(self):
         return (self.levels,), (self.n_locs, self.r, self.M,
-                                self.compute_dtype, self.index_points)
+                                self.compute_dtype, self.index_points,
+                                self.groups)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -127,6 +136,27 @@ def make_device_plan(plan: TreePlan, dtype=jnp.float32,
     if index_points:
         locs = np.arange(n, dtype=np.int32)[:, None]
     levels = []
+    groups = []
+    prev_n_int = 0
+    for g in plan.levels:
+        c_leaf = c_int = 0
+        if prev_n_int:
+            if g.n_leaf and g.n_leaf % prev_n_int == 0:
+                c = g.n_leaf // prev_n_int
+                if np.array_equal(
+                    np.asarray(g.leaf_parent),
+                    np.repeat(np.arange(prev_n_int), c),
+                ):
+                    c_leaf = c
+            if g.n_int and g.n_int % prev_n_int == 0:
+                c = g.n_int // prev_n_int
+                if np.array_equal(
+                    np.asarray(g.int_parent),
+                    np.repeat(np.arange(prev_n_int), c),
+                ):
+                    c_int = c
+        groups.append((c_leaf, c_int, int(g.n_leaf), int(g.n_int)))
+        prev_n_int = g.n_int
     for g in plan.levels:
         ik = locs[g.int_knot_gidx] if g.n_int else np.zeros((0, plan.r, locs.shape[1]))
         safe_gidx = np.minimum(g.leaf_loc_gidx, n - 1)
@@ -144,7 +174,7 @@ def make_device_plan(plan: TreePlan, dtype=jnp.float32,
                 leaf_parent=jnp.asarray(g.leaf_parent, dtype=jnp.int32),
             )
         )
-    return DevicePlan(tuple(levels), n, plan.r, plan.M)
+    return DevicePlan(tuple(levels), n, plan.r, plan.M, groups=groups)
 
 
 class SweepResult(NamedTuple):
@@ -241,17 +271,29 @@ def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
     and differentiating through its diagonal coupling adds O(jitter) noise
     to hyper-parameter gradients for no statistical benefit.
     """
+    import os
+
     if not jitter:
         return _chol_impl(mat)
     if scale is None:
         d = jnp.diagonal(mat, axis1=-2, axis2=-1)
         scale = jnp.mean(jnp.abs(d), axis=-1)
-    # Note: ops/pallas/linalg.cholesky_jittered fuses this retry cascade into
-    # one kernel launch, but measured *slower* on v5e (1.80 vs 1.58 ms/eval
-    # at N=10k): the unconditional 3x in-VMEM recompute and smaller lane
-    # chunks lose to three well-pipelined launches. Kept as a library op.
     scale = jax.lax.stop_gradient(scale)[..., None, None] + 1.0
-    return _chol_cascade(mat, jnp.asarray(jitter, mat.dtype) * scale)
+    jit_scale = jnp.asarray(jitter, mat.dtype) * scale
+    if os.environ.get("PYMRA_CHOL") == "fused":
+        # ops/pallas/linalg.cholesky_jittered fuses the retry cascade into
+        # one kernel launch (pad/transpose the batch to lanes once instead
+        # of three times). Measured slower at N=10k round 1 (unconditional
+        # 3x in-VMEM recompute, smaller lane chunks) — env knob for A/B.
+        from pymra_tpu.ops.pallas.linalg import (
+            cholesky_jittered,
+            pallas_available,
+        )
+
+        if pallas_available() and mat.dtype == jnp.float32 \
+                and mat.shape[-1] <= 80:
+            return cholesky_jittered(mat, jit_scale[..., 0, 0])
+    return _chol_cascade(mat, jit_scale)
 
 
 @jax.custom_jvp
@@ -318,7 +360,7 @@ def _jitter_lift(C_raw, C_own, jitter):
 
 
 def _chain_cond(covfn, X, parent, chain_Q, chain_GinvT, jitter,
-                chain_GLT=None):
+                chain_GLT=None, group: int = 0):
     """Conditional pass against the *joint* ancestor-knot chain.
 
     The reference conditions sequentially down the tree (closure chain,
@@ -343,19 +385,36 @@ def _chain_cond(covfn, X, parent, chain_Q, chain_GinvT, jitter,
     the reference's B_lk blocks (MRANode.py:346-355) come out of the same
     matmul family instead of a per-level gathered stack product.
 
+    With ``group = c > 0`` the nodes are contiguously grouped c-per-parent
+    (DevicePlan.groups): the parent stashes are consumed directly — each
+    parent tile is read once by a reshaped batched matmul instead of being
+    gathered (materialized) c times.
+
     Returns (Zt [n, q, S], C_own [n, q, q], W [n, q, S] or None).
     """
-    Qp = chain_Q[parent]  # [n, S, d]
-    GpT = chain_GinvT[parent]  # [n, S, S]
-    C_all = covfn(X, Qp)  # [n, q, S]
-    Zt = jnp.matmul(C_all, GpT, precision="highest")
+    n, q = X.shape[0], X.shape[1]
+    if group:
+        S = chain_GinvT.shape[-1]
+        Xg = X.reshape(n // group, group * q, X.shape[-1])
+        C_all = covfn(Xg, chain_Q)  # [n/c, c q, S]
+        Zt = jnp.matmul(C_all, chain_GinvT,
+                        precision="highest").reshape(n, q, S)
+        W = None
+        if chain_GLT is not None:
+            W = jnp.matmul(C_all, chain_GLT,
+                           precision="highest").reshape(n, q, S)
+    else:
+        Qp = chain_Q[parent]  # [n, S, d]
+        GpT = chain_GinvT[parent]  # [n, S, S]
+        C_all = covfn(X, Qp)  # [n, q, S]
+        Zt = jnp.matmul(C_all, GpT, precision="highest")
+        W = None
+        if chain_GLT is not None:
+            W = jnp.matmul(C_all, chain_GLT[parent], precision="highest")
     C_raw = covfn(X, X)
     C_own = C_raw - jnp.einsum("nqu,npu->nqp", Zt, Zt, precision="highest")
     if jitter:
         C_own = _jitter_lift(C_raw, C_own, jitter)
-    W = None
-    if chain_GLT is not None:
-        W = jnp.matmul(C_all, chain_GLT[parent], precision="highest")
     return Zt, C_own, W
 
 
@@ -515,13 +574,18 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         P = lvl.leaf_locs.shape[1]
         S = m * dplan.r
         X = lvl.leaf_locs
+        grp = 0
+        if m and dplan.groups is not None:
+            c_leaf, _, gn_leaf, _ = dplan.groups[m]
+            if c_leaf and n_leaf == gn_leaf:
+                grp = c_leaf
         if m == 0:
             C_own = covfn(X, X)
             W = None
         else:
             _, C_own, W = _chain_cond(
                 covfn, X, lvl.leaf_parent, chain_Q[m - 1], chain_GinvT[m - 1],
-                jitter, chain_GLT=chain_GLT[m - 1],
+                jitter, chain_GLT=chain_GLT[m - 1], group=grp,
             )
         kmask = lvl.leaf_is_knot  # [n, P]
         kmask_f = kmask.astype(dtype)
@@ -603,7 +667,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             omgTil = omg_h - jnp.einsum(
                 "npa,np->na", Xblk, v, precision="highest"
             )
-            children[m].append((ATil, omgTil, lvl.leaf_parent, True))
+            children[m].append((ATil, omgTil, lvl.leaf_parent, True, grp))
             G = _tri_solve(L_post, Xblk, trans=True)  # K~ A_own_head [n,P,S]
         else:
             G = jnp.zeros((n_leaf, P, 0), dtype=dtype)
@@ -611,6 +675,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         leaf_stash[m] = {
             "W": W,
             "B_own": B_own,
+            "grp": grp,
             "L_prior": L_prior,
             "L_post": L_post,
             "G": G,
@@ -634,14 +699,22 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         A_rep = jnp.zeros_like(A_sh)
         omg_rep = jnp.zeros_like(omg_sh)
         any_sharded = False
-        for pa, po, pp, is_leaf_origin in children[m + 1]:
+        for pa, po, pp, is_leaf_origin, grp in children[m + 1]:
+            if grp and pa.shape[0] == grp * n_int:
+                # contiguous uniform children: plain reshape-sum instead of
+                # a scatter (segment_sum)
+                pa_s = pa.reshape(n_int, grp, *pa.shape[1:]).sum(axis=1)
+                po_s = po.reshape(n_int, grp, *po.shape[1:]).sum(axis=1)
+            else:
+                pa_s = jax.ops.segment_sum(pa, pp, num_segments=n_int)
+                po_s = jax.ops.segment_sum(po, pp, num_segments=n_int)
             if is_leaf_origin:
                 any_sharded = True
-                A_sh = A_sh + jax.ops.segment_sum(pa, pp, num_segments=n_int)
-                omg_sh = omg_sh + jax.ops.segment_sum(po, pp, num_segments=n_int)
+                A_sh = A_sh + pa_s
+                omg_sh = omg_sh + po_s
             else:
-                A_rep = A_rep + jax.ops.segment_sum(pa, pp, num_segments=n_int)
-                omg_rep = omg_rep + jax.ops.segment_sum(po, pp, num_segments=n_int)
+                A_rep = A_rep + pa_s
+                omg_rep = omg_rep + po_s
         if axis_name is not None and any_sharded:
             A_sh = jax.lax.psum(A_sh, axis_name)
             omg_sh = jax.lax.psum(omg_sh, axis_name)
@@ -668,7 +741,12 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             omgTil = omg[:, :S] - jnp.einsum(
                 "nra,nr->na", Xblk, v, precision="highest"
             )
-            children[m].append((ATil, omgTil, lvl.int_parent, False))
+            c_int = 0
+            if dplan.groups is not None:
+                ci = dplan.groups[m][1]
+                if ci and n_int == dplan.groups[m][3]:
+                    c_int = ci
+            children[m].append((ATil, omgTil, lvl.int_parent, False, c_int))
             G = _tri_solve(L_post, Xblk, trans=True)
         else:
             G = jnp.zeros((n_int, r, 0), dtype=dtype)
@@ -750,16 +828,31 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             half = _tri_solve(st["L_post"], jnp.swapaxes(T_own, -1, -2))
             var_l = jnp.sum(half * half, axis=-2)
             if S and not keep_internals:
-                # fast path: one gathered per-parent chain contraction
+                # fast path: one per-parent chain contraction (grouped
+                # reshape when the level is contiguously grouped, else
+                # gathered)
                 h = st["W"] - jnp.einsum(
                     "npq,nqs->nps", T_own, st["G"], precision="highest"
                 )
-                wpar = post_w[m - 1][lvl.leaf_parent]
-                Vpar = post_V[m - 1][lvl.leaf_parent]
-                mean_l = mean_l + jnp.einsum(
-                    "nps,ns->np", h, wpar, precision="highest"
-                )
-                hv = jnp.einsum("nps,nsu->npu", h, Vpar, precision="highest")
+                grp = st["grp"]
+                n_l, P_l = h.shape[0], h.shape[1]
+                if grp:
+                    hg = h.reshape(n_l // grp, grp * P_l, S)
+                    mean_l = mean_l + jnp.einsum(
+                        "nps,ns->np", hg, post_w[m - 1],
+                        precision="highest",
+                    ).reshape(n_l, P_l)
+                    hv = jnp.matmul(
+                        hg, post_V[m - 1], precision="highest"
+                    ).reshape(n_l, P_l, S)
+                else:
+                    wpar = post_w[m - 1][lvl.leaf_parent]
+                    Vpar = post_V[m - 1][lvl.leaf_parent]
+                    mean_l = mean_l + jnp.einsum(
+                        "nps,ns->np", h, wpar, precision="highest"
+                    )
+                    hv = jnp.einsum("nps,nsu->npu", h, Vpar,
+                                    precision="highest")
                 var_l = var_l + jnp.sum(hv * hv, axis=-1)
             elif S:
                 # keep_internals: replay the per-ancestor downdates so the
