@@ -2,9 +2,14 @@
 
 Standard definitions (Gelman et al., BDA3 / Vehtari et al. 2021 split-R-hat;
 ESS via the initial-positive-sequence autocorrelation estimator), vectorized
-over parameters.
+over parameters. Both functions are pure jnp — they compose with ``jit``
+(all shapes static), and ``ess`` computes every autocovariance lag in one
+FFT instead of a Python loop over lags (one dispatch instead of
+O(max_lag)).
 """
 from __future__ import annotations
+
+import numpy as np
 
 import jax.numpy as jnp
 
@@ -33,19 +38,25 @@ def split_rhat(chains: jnp.ndarray) -> jnp.ndarray:
 
 
 def ess(chains: jnp.ndarray, max_lag: int | None = None) -> jnp.ndarray:
-    """Bulk effective sample size. ``chains``: [n_chains, n_samples, ...]."""
+    """Bulk effective sample size. ``chains``: [n_chains, n_samples, ...].
+
+    All lags' autocovariances come from one zero-padded FFT
+    (``acov[k] = ifft(|fft(xc)|^2)[k] / n``), so the whole estimator is a
+    fixed-shape jnp program: it runs under ``jit`` and costs one dispatch
+    regardless of ``max_lag`` (the previous implementation looped over lags
+    in Python — O(max_lag) eager dispatches).
+    """
     x = _split(jnp.asarray(chains))
     c, n = x.shape[:2]
     if max_lag is None:
         max_lag = min(n - 1, 1000)
+    max_lag = min(int(max_lag), n)
     xc = x - x.mean(axis=1, keepdims=True)
-    # autocovariance per chain via direct sum (max_lag bounded)
-    def acov(lag):
-        prod = xc[:, : n - lag] * xc[:, lag:]
-        return prod.sum(axis=1) / n
-
-    lags = jnp.arange(max_lag)
-    rho_per_chain = jnp.stack([acov(int(k)) for k in range(max_lag)])  # [L, c, ...]
+    # autocovariance at every lag via one FFT (padded to avoid circularity)
+    size = 1 << int(np.ceil(np.log2(max(2 * n, 2))))
+    f = jnp.fft.rfft(xc, n=size, axis=1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=size, axis=1)[:, :max_lag] / n
+    rho_per_chain = jnp.moveaxis(acov, 1, 0)  # [L, c, ...]
     var0 = rho_per_chain[0]
     # combine with between-chain variance (Vehtari et al. 2021 eq. 10)
     chain_means = x.mean(axis=1)

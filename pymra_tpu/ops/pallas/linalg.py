@@ -76,8 +76,15 @@ def _batch_chunk(p: int, vmem_budget: int = 6 * 2**20,
     chunk = vmem_budget // max(per_lane, 1)
     chunk = max(128, min(4096, (chunk // 128) * 128))
     if batch and batch % 128 == 0:
-        while batch % chunk:
-            chunk -= 128
+        div = chunk
+        while batch % div:
+            div -= 128
+        # a batch like 127*128 only divides at 128; such a tiny chunk costs
+        # more (grid overhead, worse pipelining) than the one pad/copy the
+        # divisor rule avoids — keep the VMEM-budget chunk unless the
+        # dividing chunk retains at least half of it
+        if div * 2 >= chunk:
+            chunk = div
     return chunk
 
 

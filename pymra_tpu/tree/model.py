@@ -70,6 +70,9 @@ class MRAModel:
                  config: PlanConfig | None = None,
                  plan: TreePlan | None = None,
                  index_mode: bool = False):
+        from pymra_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()  # no-op when PYMRA_NO_CACHE=1
         if plan is None:
             plan = build_plan(locs, r, M=M, J=J, seed=seed, config=config)
         self.plan = plan

@@ -45,7 +45,6 @@ def _problem():
     locs_np = np.asarray(locs, dtype=np.float64)
 
     def dense_loglik(log_l):
-        d = np.abs(locs_np - locs_np.T) if locs_np.ndim == 2 else None
         sig = np.exp(-np.abs(locs_np[:, :1] - locs_np[:, :1].T)
                      / np.exp(log_l))
         return exact_gp(sig, y, R_NOISE)["loglik"]
