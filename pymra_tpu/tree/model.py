@@ -266,6 +266,68 @@ class MRATree:
         visit(self.model.plan.nodes[0][0])
         return out
 
+    # -- ancestor-basis diagnostics (reference MRATree.py:359-430) ----------
+
+    def _node_by_id(self, node_id: str):
+        if not node_id or node_id[0] != "r":
+            raise ValueError(f"node IDs start with 'r', got {node_id!r}")
+        node = self.model.plan.nodes[0][0]
+        for ch in node_id[1:]:
+            j = int(ch) - 1
+            if j < 0 or j >= len(node.children):
+                raise KeyError(f"no child {ch} under node {node.node_id!r}")
+            node = node.children[j]
+        return node
+
+    def getKNode(self, callerID: str, k: int):
+        """The resolution-``k`` ancestor on the path to ``callerID``
+        (reference ``getKNode``, MRATree.py:401-430 — degenerate at
+        reference HEAD because children are deleted post-build, SURVEY
+        quirk #3; fully functional here)."""
+        return self._node_by_id(callerID[: k + 1])
+
+    def getB_lk(self, callerID: str, k: int, l: int | None = None):
+        """Rows of ancestor ``k``'s prior basis matrix restricted to the
+        resolution-``l`` node on the caller's path (reference ``getB_lk``,
+        MRATree.py:359-396).
+
+        Returns the conditional cross-covariance ``Sigma_k(X_l, Q_k)``
+        between the l-node's locations and the k-ancestor's knots, given
+        the knots of resolutions ``< k`` — sequential conditioning on
+        nested knot sets equals joint conditioning (the chain identity the
+        device sweep uses, tree/sweep.py ``_chain_cond``), so this is one
+        dense solve against the joint ancestor-knot covariance.
+        """
+        import numpy as np
+
+        node_l = self._node_by_id(callerID if l is None
+                                  else callerID[: l + 1])
+        node_k = self.getKNode(callerID, k)
+        plan = self.model.plan
+
+        def pts(gidx):
+            if self.model.index_mode:
+                return jnp.asarray(gidx, dtype=jnp.int32)[:, None]
+            return jnp.asarray(plan.locs[gidx], dtype=self.model.dtype)
+
+        X = pts(node_l.loc_gidx)
+        Qk = pts(node_k.knot_gidx)
+        B = self.cov(X, Qk)
+        anc_gidx = []
+        cur = node_k.parent
+        while cur is not None:
+            anc_gidx.append(cur.knot_gidx)
+            cur = cur.parent
+        if anc_gidx:
+            Qa = pts(np.concatenate(anc_gidx[::-1]))
+            Kaa = self.cov(Qa, Qa)
+            rhs = self.cov(Qa, Qk)
+            corr = self.cov(X, Qa) @ jnp.linalg.solve(
+                Kaa + 1e-12 * jnp.eye(Kaa.shape[0], dtype=Kaa.dtype), rhs
+            )
+            B = B - corr
+        return np.asarray(B)
+
     # -- basis matrix + drawing (reference MRATree.py:161-352, 445-511) -----
 
     def getBasisFunctionsMatrix(self, distr: str = "prior",

@@ -179,6 +179,16 @@ class NodeRec:
     def n_knots(self) -> int:
         return len(self.knot_gidx)
 
+    @property
+    def node_id(self) -> str:
+        """Reference-style node ID: root ``'r'``, child ``j`` (1-based)
+        appends ``str(j)`` (pyMRA/MRANode.py node IDs, used by the
+        ``MRATree.getB_lk`` / ``getKNode`` diagnostics)."""
+        if self.parent is None:
+            return "r"
+        j = self.parent.children.index(self)
+        return self.parent.node_id + str(j + 1)
+
 
 # ---------------------------------------------------------------------------
 # knot selection  (reference _getKnotsInds, MRANode.py:179-205)

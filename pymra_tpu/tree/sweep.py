@@ -283,6 +283,33 @@ def _tri_solve(L: jnp.ndarray, B: jnp.ndarray, trans: bool = False
     return solve_triangular(L, B, lower=True, trans="T" if trans else 0)
 
 
+def _use_inverse_solves(p: int) -> bool:
+    """Leaf-level solve strategy: explicit triangular inverse + MXU matmuls
+    vs per-call Pallas triangular solves.
+
+    Each Pallas solve relayouts its operands to the lane-batched [P, Q, B]
+    layout and back — two full-tensor transposes per call. The leaf level
+    issues six-plus wide solves against the SAME factor, so inverting it
+    once (``triangular_inverse_lower`` — batched MXU matmuls in the native
+    [n, P, P] layout, no transposes) and replacing every solve with a
+    matmul removes a dozen relayout passes over [65536, 28, 64]-scale
+    tensors from the N=1M sweep. Numerically safe here: the factors are
+    jitter-regularized and leaf-sized (P <= ~100); the deep-tree float32
+    stress test (tests/test_sweep_exactness.py::TestDeepTreeFloat32) bounds
+    the error. ``PYMRA_LEAF_SOLVE=tri|inv`` overrides for A/B.
+    """
+    import os
+
+    from pymra_tpu.ops.pallas.linalg import pallas_available
+
+    mode = os.environ.get("PYMRA_LEAF_SOLVE", "auto")
+    if mode == "inv":
+        return True
+    if mode == "tri":
+        return False
+    return pallas_available() and p >= 16
+
+
 def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
     """Cholesky with scale-relative diagonal regularization.
 
@@ -665,9 +692,13 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             if S:
                 A_oh = jnp.einsum("npa,np,npb->nab", B_own, w, W,
                                   precision="highest")
-                A_hh = jnp.einsum("npa,np,npb->nab", W, w, W,
-                                  precision="highest")
-                omg_h = jnp.einsum("npa,np->na", W, wy, precision="highest")
+                if not grp:
+                    # per-leaf head Gram blocks (the grouped path aggregates
+                    # them straight at the parent below — c x less memory)
+                    A_hh = jnp.einsum("npa,np,npb->nab", W, w, W,
+                                      precision="highest")
+                    omg_h = jnp.einsum("npa,np->na", W, wy,
+                                       precision="highest")
             logdet_R = jnp.sum(jnp.where(obs, jnp.log(r_leaf), 0.0), axis=-1)
             quad_y = jnp.sum(w * y0 * y0, axis=-1)
 
@@ -676,7 +707,29 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             jnp.abs(jnp.diagonal(K_leaf, axis1=-2, axis2=-1)), axis=-1
         )
         L_post = _chol(K_leaf + A_oo, jitter, scale=prior_scale)
-        v = _tri_solve(L_post, omg_o[..., None])[..., 0]  # [n, P]
+        if _use_inverse_solves(P):
+            # one explicit inverse, every "solve" becomes an MXU matmul in
+            # the native layout (see _use_inverse_solves)
+            from pymra_tpu.ops.pallas.linalg import triangular_inverse_lower
+
+            Li = triangular_inverse_lower(L_post)
+            LiT = jnp.swapaxes(Li, -1, -2)
+
+            def solve_l(B):
+                return jnp.matmul(Li, B, precision="highest")
+
+            def solve_lt(B):
+                return jnp.matmul(LiT, B, precision="highest")
+        else:
+            Li = None
+
+            def solve_l(B):
+                return _tri_solve(L_post, B)
+
+            def solve_lt(B):
+                return _tri_solve(L_post, B, trans=True)
+
+        v = solve_l(omg_o[..., None])[..., 0]  # [n, P]
 
         # likelihood increments (log-Cholesky; leaf adds the R log-det and
         # the data quadratic form — MRANode.py:452-459)
@@ -690,24 +743,56 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         n_obs_total = n_obs_total + jnp.sum(n_obs)
 
         if S:
-            Xblk = _tri_solve(L_post, A_oh)  # [n,P,S]
-            ATil = A_hh - jnp.einsum(
-                "npa,npb->nab", Xblk, Xblk, precision="highest"
-            )
-            omgTil = omg_h - jnp.einsum(
-                "npa,np->na", Xblk, v, precision="highest"
-            )
-            children[m].append((ATil, omgTil, lvl.leaf_parent, True, grp))
-            G = _tri_solve(L_post, Xblk, trans=True)  # K~ A_own_head [n,P,S]
+            Xblk = solve_l(A_oh)  # [n,P,S]
+            if grp and r_dense is None:
+                # aggregate the head messages straight at the parent: the
+                # same contractions over c*P rows land the downdated blocks
+                # at [n/c, S, S] instead of [n, S, S] — no per-leaf A_hh /
+                # ATil tensors in HBM (the largest intermediates of the
+                # N=1M sweep), and the upward segment-sum disappears
+                n_par = n_leaf // grp
+                Wg = W.reshape(n_par, grp * P, S)
+                wg = w.reshape(n_par, grp * P)
+                ATil = (
+                    jnp.einsum("nqa,nq,nqb->nab", Wg, wg, Wg,
+                               precision="highest")
+                    - jnp.einsum(
+                        "nqa,nqb->nab",
+                        Xblk.reshape(n_par, grp * P, S),
+                        Xblk.reshape(n_par, grp * P, S),
+                        precision="highest",
+                    )
+                )
+                omgTil = (
+                    jnp.einsum("nqa,nq->na", Wg, (w * y0).reshape(
+                        n_par, grp * P), precision="highest")
+                    - jnp.einsum("nqa,nq->na",
+                                 Xblk.reshape(n_par, grp * P, S),
+                                 v.reshape(n_par, grp * P),
+                                 precision="highest")
+                )
+                children[m].append(
+                    (ATil, omgTil, lvl.leaf_parent[::grp], True, 1)
+                )
+            else:
+                ATil = A_hh - jnp.einsum(
+                    "npa,npb->nab", Xblk, Xblk, precision="highest"
+                )
+                omgTil = omg_h - jnp.einsum(
+                    "npa,np->na", Xblk, v, precision="highest"
+                )
+                children[m].append((ATil, omgTil, lvl.leaf_parent, True, grp))
+            G = solve_lt(Xblk)  # K~ A_own_head [n,P,S]
         else:
             G = jnp.zeros((n_leaf, P, 0), dtype=dtype)
-        g = _tri_solve(L_post, v[..., None], trans=True)[..., 0]
+        g = solve_lt(v[..., None])[..., 0]
         leaf_stash[m] = {
             "W": W,
             "B_own": B_own,
             "grp": grp,
             "L_prior": L_prior,
             "L_post": L_post,
+            "Li": Li,
             "G": G,
             "g": g,
         }
@@ -869,7 +954,11 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             mean_l = jnp.einsum(
                 "npq,nq->np", T_own, st["g"], precision="highest"
             )
-            half = _tri_solve(st["L_post"], jnp.swapaxes(T_own, -1, -2))
+            if st["Li"] is not None:
+                half = jnp.matmul(st["Li"], jnp.swapaxes(T_own, -1, -2),
+                                  precision="highest")
+            else:
+                half = _tri_solve(st["L_post"], jnp.swapaxes(T_own, -1, -2))
             var_l = jnp.sum(half * half, axis=-2)
             if S and not keep_internals:
                 # fast path: one per-parent chain contraction (grouped

@@ -121,14 +121,19 @@ def sweep_cost(dplan, compute_posterior: bool = True) -> SweepCost:
             b += F32 * n * (P * S * 4 + P * P * 2)  # Zt, W write+read; C_own
         else:
             b += F32 * n * P * P
+        # grouped parent-aggregation: head Gram/downdate blocks land at
+        # [n/c, S, S] instead of [n, S, S] (tree/sweep.py Pass B)
+        c = (dplan.groups[m][0]
+             if dplan.groups is not None and m < len(dplan.groups) else 0)
+        n_head = n // c if c else n
         # A/omega assembly (head/own blocks)
         f += 2 * n * P * P * P  # A_oo
         f += 2 * n * P * P  # omg_o
         if S:
             f += 2 * n * P * P * S  # A_oh
-            f += 2 * n * P * S * S  # A_hh
+            f += 2 * n * P * S * S  # A_hh (per-parent when grouped)
             f += 2 * n * P * S  # omg_h
-            b += F32 * n * ((S + P) ** 2)  # A blocks write
+            b += F32 * (n * (P * P + P * S) + n_head * S * S)  # A writes
         else:
             b += F32 * n * P * P
         # factorizations + solves
@@ -138,10 +143,10 @@ def sweep_cost(dplan, compute_posterior: bool = True) -> SweepCost:
         b += F32 * n * P * P * 2 * 2  # two factors write+read
         if S:
             f += n * P * P * S  # Xblk solve
-            f += 2 * n * P * S * S  # ATil
+            f += 2 * n * P * S * S  # ATil downdate
             f += 2 * n * P * S  # omgTil
             f += n * P * P * S  # G solve
-            b += F32 * n * (P * S * 2 + S * S)
+            b += F32 * (n * P * S * 2 + n_head * S * S)
         f += n * P * P  # g solve
         add(f"B{m} leaf pass (n={n}, P={P}, S={S})", f, b, True,
             exec_extra=(CHOL_CASCADE - 1) * cf)

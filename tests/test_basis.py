@@ -103,3 +103,60 @@ class TestViz:
         np.testing.assert_array_equal(
             filter_nnz(x, tol=1e-10), [[0, 0], [1, 1]]
         )
+
+
+class TestAncestorBasisAccessors:
+    """Public getB_lk / getKNode diagnostics (reference MRATree.py:359-430 —
+    degenerate at reference HEAD, SURVEY quirk #3; functional here)."""
+
+    def test_getknode_walks_path(self):
+        from pymra_tpu.tree.model import MRATree
+
+        locs, kern, y, _ = _setup()
+        tree = MRATree(locs, 2, kern, y, 1e-2, M=2, J=3)
+        leaves = [nd for nd in tree.model.plan.nodes[2] if nd.is_leaf]
+        leaf = leaves[0]
+        ID = leaf.node_id
+        assert ID[0] == "r" and len(ID) == 3
+        assert tree.getKNode(ID, 0) is tree.model.plan.nodes[0][0]
+        assert tree.getKNode(ID, 2) is leaf
+        assert tree.getKNode(ID, 1) is leaf.parent
+
+    def test_getb_lk_matches_sweep_chain_blocks(self):
+        """getB_lk's dense joint-conditioning must reproduce the device
+        sweep's per-leaf ancestor-basis blocks (Bstack)."""
+        from pymra_tpu.tree.model import MRATree
+        from pymra_tpu.tree.sweep import mra_sweep
+
+        locs, kern, y, _ = _setup()
+        tree = MRATree(locs, 2, kern, y, 1e-2, M=2, J=3)
+        model = tree.model
+        r = model.plan.r
+        _, internals = mra_sweep(
+            model.dplan, kern, y, 1e-2, compute_posterior=True,
+            jitter=0.0, keep_internals=True,
+        )
+        m = 2
+        leaves = [nd for nd in model.plan.nodes[m] if nd.is_leaf]
+        assert leaves, "test premise: leaves at the deepest level"
+        for li in (0, len(leaves) - 1):
+            leaf = leaves[li]
+            ID = leaf.node_id
+            Bstack = np.asarray(internals["leaf"][m]["Bstack"][li])
+            for k in range(m):
+                got = tree.getB_lk(ID, k)
+                want = Bstack[: leaf.n_locs, k * r:(k + 1) * r]
+                np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_getb_lk_restricted_l(self):
+        from pymra_tpu.tree.model import MRATree
+
+        locs, kern, y, _ = _setup()
+        tree = MRATree(locs, 2, kern, y, 1e-2, M=2, J=3)
+        leaves = [nd for nd in tree.model.plan.nodes[2] if nd.is_leaf]
+        ID = leaves[0].node_id
+        full = tree.getB_lk(ID, 0, l=1)  # ancestor-1's whole domain
+        sub = tree.getB_lk(ID, 0)  # just the leaf's rows
+        parent = tree.getKNode(ID, 1)
+        rows = np.searchsorted(parent.loc_gidx, leaves[0].loc_gidx)
+        np.testing.assert_allclose(full[rows], sub, atol=1e-12)

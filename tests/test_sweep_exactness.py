@@ -138,6 +138,85 @@ class TestApproximateConfigs:
         np.testing.assert_allclose(np.asarray(res.mean), oracle["mean"], atol=1e-9)
 
 
+class TestLeafSolveStrategies:
+    """The TPU path replaces leaf triangular solves with explicit-inverse
+    matmuls (sweep._use_inverse_solves); both strategies must agree."""
+
+    def test_inverse_solves_match_triangular(self, monkeypatch):
+        locs = gen_locations_2d(16)
+        kern = kernels.Kernel("matern32", l=0.4, sig=1.2)
+        y = _make_data(locs, kern, 1e-3, 0.7, 6)
+        model = MRAModel(locs, r=4, M=2, J=4)
+
+        monkeypatch.setenv("PYMRA_LEAF_SOLVE", "tri")
+        ref = model.sweep(kern, y, 1e-3)
+        monkeypatch.setenv("PYMRA_LEAF_SOLVE", "inv")
+        # new jit trace (env is read at trace time): call unjitted
+        from pymra_tpu.tree.sweep import mra_sweep
+
+        inv = mra_sweep(model.dplan, kern, np.asarray(y).ravel(), 1e-3,
+                        compute_posterior=True, jitter=model.jitter)
+        np.testing.assert_allclose(
+            float(inv.objective), float(ref.objective), rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(inv.mean), np.asarray(ref.mean), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(inv.var), np.asarray(ref.var), atol=1e-9
+        )
+
+        # gradients flow through the inverse path too
+        def obj(k):
+            return mra_sweep(model.dplan, k, np.asarray(y).ravel(), 1e-3,
+                             compute_posterior=False,
+                             jitter=model.jitter).loglik
+
+        g_inv = jax.grad(obj)(kern)
+        monkeypatch.setenv("PYMRA_LEAF_SOLVE", "tri")
+        g_tri = jax.grad(obj)(kern)
+        np.testing.assert_allclose(
+            float(g_inv.params["l"]), float(g_tri.params["l"]), rtol=1e-8
+        )
+
+
+class TestDeepTreeFloat32:
+    """ADVICE r2: the chain-matrix formulation composes explicit triangular
+    inverses down the tree (sweep.py chain_GinvT); for deep trees in float32
+    this could lose accuracy faster than backward-stable per-ancestor
+    solves. Bound the float32 error against the float64 sweep on the
+    deepest tree the 1-D screening config supports."""
+
+    @pytest.mark.parametrize("M,r", [(5, 2), (6, 2)])
+    def test_deep_tree_f32_vs_f64(self, M, r):
+        import jax.numpy as jnp
+
+        n = 4500  # deep enough for M=6 at J=r+1=3 (maxM formula, plan.py)
+        locs = gen_locations(n)
+        kern = kernels.Kernel("exponential", l=0.25)
+        y = _make_data(locs, kern, 1e-2, 0.5, 4)
+
+        m64 = MRAModel(locs, r=r, M=M, J=r + 1, dtype=jnp.float64)
+        res64 = m64.sweep(kern, y, 1e-2)
+        m32 = MRAModel(locs, r=r, M=M, J=r + 1, dtype=jnp.float32)
+        res32 = m32.sweep(kern, y, 1e-2)
+
+        assert m64.plan.M == M  # tree really is deep
+        obj64 = float(res64.objective)
+        rel_obj = abs(float(res32.objective) - obj64) / abs(obj64)
+        assert rel_obj < 5e-4, f"objective rel err {rel_obj:.2e} at M={M}"
+        mean_scale = np.abs(np.asarray(res64.mean)).max()
+        mean_err = np.abs(
+            np.asarray(res32.mean) - np.asarray(res64.mean)
+        ).max()
+        assert mean_err < 5e-3 * max(mean_scale, 1.0), (
+            f"mean abs err {mean_err:.2e} at M={M}"
+        )
+        sd64 = np.sqrt(np.maximum(np.asarray(res64.var), 0.0))
+        sd32 = np.sqrt(np.maximum(np.asarray(res32.var), 0.0))
+        assert np.abs(sd32 - sd64).max() < 5e-3
+
+
 class TestDifferentiability:
     def test_grad_loglik_finite_and_correct(self):
         locs = gen_locations(27)
