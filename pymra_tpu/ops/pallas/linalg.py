@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["cholesky", "cholesky_blocked", "cholesky_jittered",
-           "solve_triangular_batched", "pallas_available"]
+           "solve_triangular_batched", "triangular_inverse_lower",
+           "pallas_available"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -178,6 +179,28 @@ def _tri_solve_kernel(p: int, q: int, transpose: bool, unit_diag: bool):
     return kernel
 
 
+def _tri_inv_kernel(p: int):
+    def kernel(l_ref, x_ref):
+        # l_ref/x_ref: [P, P, Bc]; batch on lanes. Forward substitution
+        # against an identity right-hand side generated in-register (no
+        # HBM read for the rhs, unlike solving against a broadcast eye).
+        l = l_ref[:]
+        dt = l.dtype
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
+               ).astype(dt)
+        x = jnp.broadcast_to(eye, l.shape)
+        for j in range(p):
+            xj = x[j, :, :] / l[j, j, :][None, :]
+            upd = l[:, j, :][:, None, :] * xj[None, :, :]
+            x = jnp.where(rowid == j, xj[None, :, :],
+                          jnp.where(rowid > j, x - upd, x))
+        x_ref[:] = x
+
+    return kernel
+
+
 def _pad_batch(x: jnp.ndarray, bc: int, fill_eye: bool) -> tuple[jnp.ndarray, int]:
     """Pad the lane (last) axis to a multiple of ``bc``."""
     b = x.shape[-1]
@@ -253,6 +276,31 @@ def _solve_lanes(l_t: jnp.ndarray, b_t: jnp.ndarray, transpose: bool
     return out[..., :b]
 
 
+def _tri_inv_lanes(l_t: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular inverse of ``[P, P, B]`` (batch on lanes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = l_t.shape[0]
+    bc = _batch_chunk(p, batch=l_t.shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        bc = min(bc, 256)
+    l_t, b = _pad_batch(l_t, bc, fill_eye=True)
+    grid = (l_t.shape[-1] // bc,)
+    out = pl.pallas_call(
+        _tri_inv_kernel(p),
+        out_shape=jax.ShapeDtypeStruct(l_t.shape, l_t.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((p, p, bc), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((p, p, bc), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(l_t)
+    return out[..., :b]
+
+
 def _to_lanes(x: jnp.ndarray) -> tuple[jnp.ndarray, tuple[int, ...]]:
     """[..., P, Q] -> ([P, Q, B], leading batch shape)."""
     batch = x.shape[:-2]
@@ -322,18 +370,57 @@ def cholesky(mat: jnp.ndarray) -> jnp.ndarray:
     return _from_lanes(_cholesky_lanes(mat_t), batch)
 
 
+@jax.custom_vjp
 def triangular_inverse_lower(l: jnp.ndarray) -> jnp.ndarray:
     """Explicit inverse of a batched lower-triangular matrix.
 
-    Recursive 2x2 block inversion — ``inv([[A,0],[B,C]]) = [[A^-1, 0],
-    [-C^-1 B A^-1, C^-1]]`` — so all the work is batched matmuls (MXU) with
-    an unrolled forward-substitution base case. Used by
-    :func:`cholesky_blocked` for its panel updates: a Pallas triangular
-    solve with q=64 rhs columns needs 3 double-buffered [64, 64, lanes]
-    VMEM blocks and crosses the VMEM wall at grid>1 (measured: compiles at
+    Dispatch: big batches of mid-size factors (8 < P <= 80, the leaf-level
+    regime) go to the lane-batched Pallas kernel — the XLA alternative
+    below expands into dozens of oddly-shaped slices/matmuls whose [.., k,
+    k<128] intermediates each pad their lane dimension to 128 in HBM,
+    which profiling showed as a major share of the N=1M likelihood stage.
+    Everything else (tiny r-sized triangles, CPU/f64 oracle paths, wide
+    factors) uses recursive 2x2 block inversion — ``inv([[A,0],[B,C]]) =
+    [[A^-1, 0], [-C^-1 B A^-1, C^-1]]`` — batched matmuls (MXU) with an
+    unrolled forward-substitution base case. The recursion also backs
+    :func:`cholesky_blocked`'s panel updates: a Pallas triangular solve
+    with q=64 rhs columns needs 3 double-buffered [64, 64, lanes] VMEM
+    blocks and crosses the VMEM wall at grid>1 (measured: compiles at
     B=128, Mosaic refuses at B=4096), whereas this composes from ordinary
     XLA ops at any batch size.
+
+    Differentiable (custom VJP): ``Lbar = -tril(Y^T Ybar Y^T)`` with
+    ``Y = L^{-1}``.
     """
+    return _tri_inv_impl(l)
+
+
+def _tri_inv_impl(l: jnp.ndarray) -> jnp.ndarray:
+    n = l.shape[-1]
+    batch = int(np.prod(l.shape[:-2])) if l.ndim > 2 else 1
+    if (pallas_available() and l.dtype == jnp.float32 and 8 < n <= 80
+            and batch >= 128):
+        l_t, bshape = _to_lanes(l)
+        return _from_lanes(_tri_inv_lanes(l_t), bshape)
+    return _tri_inv_recursive(l)
+
+
+def _tri_inv_fwd(l):
+    y = _tri_inv_impl(l)
+    return y, y
+
+
+def _tri_inv_bwd(y, ybar):
+    yt = jnp.swapaxes(y, -1, -2)
+    g = jnp.matmul(yt, jnp.matmul(ybar, yt, precision="highest"),
+                   precision="highest")
+    return (-jnp.tril(g),)
+
+
+triangular_inverse_lower.defvjp(_tri_inv_fwd, _tri_inv_bwd)
+
+
+def _tri_inv_recursive(l: jnp.ndarray) -> jnp.ndarray:
     n = l.shape[-1]
     if n <= 8:
         eye = jnp.eye(n, dtype=l.dtype)
@@ -345,8 +432,8 @@ def triangular_inverse_lower(l: jnp.ndarray) -> jnp.ndarray:
             rows.append(acc / l[..., i, i:i + 1])
         return jnp.stack(rows, axis=-2)
     k = (n + 1) // 2
-    ai = triangular_inverse_lower(l[..., :k, :k])
-    ci = triangular_inverse_lower(l[..., k:, k:])
+    ai = _tri_inv_recursive(l[..., :k, :k])
+    ci = _tri_inv_recursive(l[..., k:, k:])
     x = -jnp.matmul(
         ci, jnp.matmul(l[..., k:, :k], ai, precision="highest"),
         precision="highest",

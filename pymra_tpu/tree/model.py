@@ -135,14 +135,22 @@ class MRAModel:
         ``kernel_builder(theta)`` maps a parameter pytree to a covariance
         callable; defaults to treating ``theta`` itself as the covariance
         (e.g. a :class:`pymra_tpu.kernels.Kernel` pytree).
+
+        The per-leaf observation tensors are prepared ONCE here
+        (:func:`pymra_tpu.tree.sweep.prepare_obs`), so each evaluation of
+        the returned function skips the slot-permutation gather of ``y``
+        — the dominant theta-independent cost of a sweep at large N.
         """
+        from pymra_tpu.tree.sweep import prepare_obs
+
         y = jnp.asarray(y).ravel()
+        prep = prepare_obs(self.dplan, y, R)
 
         def fn(theta):
             cov = kernel_builder(theta) if kernel_builder else theta
             return mra_sweep(
                 self.dplan, cov, y, R,
-                compute_posterior=False, jitter=self.jitter,
+                compute_posterior=False, jitter=self.jitter, prep=prep,
             ).loglik
 
         return fn

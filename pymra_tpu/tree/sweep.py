@@ -48,6 +48,7 @@ level loop is a Python loop unrolled by ``jit`` (M <= ~10).
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -58,7 +59,7 @@ from jax.scipy.linalg import solve_triangular
 from pymra_tpu.tree.plan import TreePlan
 
 __all__ = ["DeviceLevel", "DevicePlan", "SweepResult", "make_device_plan",
-           "mra_sweep", "LOG2PI"]
+           "mra_sweep", "prepare_obs", "LOG2PI"]
 
 LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -94,7 +95,8 @@ class DevicePlan:
                  M: int, compute_dtype: str = "float32",
                  index_points: bool = False,
                  groups: tuple | None = None,
-                 post_inv: jnp.ndarray | None = None):
+                 post_inv: jnp.ndarray | None = None,
+                 iota_groups: bool = False):
         self.levels = tuple(levels)
         self.n_locs = int(n_locs)
         self.r = int(r)
@@ -117,18 +119,27 @@ class DevicePlan:
         #: r2 weak #1) and are slower at runtime anyway. ``None`` (e.g.
         #: plans re-padded for sharding) falls back to the scatter path.
         self.post_inv = post_inv
+        #: True when every grouped level's parent array is known (at plan
+        #: time) to be exactly ``repeat(arange(n_parents), c)`` — i.e. the
+        #: per-group parent gather is the identity. The sweep then reads
+        #: parent stashes directly instead of gathering, which XLA would
+        #: otherwise materialize as a full copy (the indices are runtime
+        #: arrays, so it cannot prove the gather trivial). False for
+        #: sharded plans, whose per-shard parent indices carry a shard
+        #: offset into the replicated stashes.
+        self.iota_groups = bool(iota_groups)
 
     def tree_flatten(self):
         return (self.levels, self.post_inv), (
             self.n_locs, self.r, self.M, self.compute_dtype,
-            self.index_points, self.groups)
+            self.index_points, self.groups, self.iota_groups)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         levels, post_inv = children
-        n_locs, r, M, compute_dtype, index_points, groups = aux
+        n_locs, r, M, compute_dtype, index_points, groups, iota = aux
         return cls(levels, n_locs, r, M, compute_dtype, index_points,
-                   groups, post_inv)
+                   groups, post_inv, iota)
 
 
 def make_device_plan(plan: TreePlan, dtype=jnp.float32,
@@ -201,7 +212,7 @@ def make_device_plan(plan: TreePlan, dtype=jnp.float32,
             inv[owners] = valid.astype(np.int32)
             post_inv = jnp.asarray(inv)
     return DevicePlan(tuple(levels), n, plan.r, plan.M, groups=groups,
-                      post_inv=post_inv)
+                      post_inv=post_inv, iota_groups=True)
 
 
 class SweepResult(NamedTuple):
@@ -310,7 +321,8 @@ def _use_inverse_solves(p: int) -> bool:
     return pallas_available() and p >= 16
 
 
-def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
+def _chol(mat: jnp.ndarray, jitter, scale=None, gate: bool = True
+          ) -> jnp.ndarray:
     """Cholesky with scale-relative diagonal regularization.
 
     The jitter is scaled by the mean diagonal magnitude so it stays
@@ -347,21 +359,28 @@ def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
         if pallas_available() and mat.dtype == jnp.float32 \
                 and mat.shape[-1] <= 80:
             return cholesky_jittered(mat, jit_scale[..., 0, 0])
-    return _chol_cascade(mat, jit_scale)
+    return _chol_cascade(mat, jit_scale, gate)
 
 
-@jax.custom_jvp
-def _chol_cascade(mat: jnp.ndarray, jit_scale: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
+def _chol_cascade(mat: jnp.ndarray, jit_scale: jnp.ndarray,
+                  gate: bool = True) -> jnp.ndarray:
     """Jitter-escalating batched Cholesky (primal).
 
     Factorizes ``mat + jit_scale*I``; batch members that come back NaN
     (numerically indefinite — e.g. near-duplicate fine-scale points deep in
     the tree) are retried at 1e2x and 1e4x jitter, per-member, via
-    ``jnp.where`` selects. Everything here is elementwise/batched — no
-    ``lax.cond`` — so it composes with ``vmap``-over-chains inside a
-    ``shard_map``-over-data mesh (the flagship multi-chip configuration;
-    a cond predicate would be varying over the chain mesh axis and is
-    rejected by JAX).
+    ``jnp.where`` selects.
+
+    With ``gate=True`` (static) the retries sit behind one ``lax.cond`` on
+    a whole-batch any-NaN predicate: in the (overwhelmingly common)
+    all-clean case the two escalation factorizations — and, on TPU, their
+    lane-relayout passes over the full batch — are skipped entirely. Under
+    ``vmap`` (chains/particles) the cond lowers to a select that executes
+    both branches, i.e. exactly the unconditional cascade, so nothing
+    regresses. The gate must be OFF inside ``shard_map``: the predicate
+    would be varying over the mesh axis and JAX's vma checking rejects
+    such a cond (``_mra_sweep_impl`` passes ``gate = axis_name is None``).
 
     Differentiation is NOT traced through this cascade: the custom JVP below
     linearizes against the final selected factor only, so an escalated (or
@@ -370,22 +389,28 @@ def _chol_cascade(mat: jnp.ndarray, jit_scale: jnp.ndarray) -> jnp.ndarray:
     """
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
     c = _chol_impl(mat + jit_scale * eye)
-    for factor in (1e2, 1e4):
-        bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[..., None, None]
-        retry = _chol_impl(mat + (factor * jit_scale) * eye)
-        c = jnp.where(bad, retry, c)
-    return c
+
+    def _escalate(c):
+        for factor in (1e2, 1e4):
+            bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[..., None, None]
+            retry = _chol_impl(mat + (factor * jit_scale) * eye)
+            c = jnp.where(bad, retry, c)
+        return c
+
+    if not gate:
+        return _escalate(c)
+    return jax.lax.cond(jnp.any(jnp.isnan(c)), _escalate, lambda x: x, c)
 
 
 @_chol_cascade.defjvp
-def _chol_cascade_jvp(primals, tangents):
+def _chol_cascade_jvp(gate, primals, tangents):
     # dL = L * Phi(L^-1 dA L^-T), Phi = strictly-lower + half-diagonal —
     # the standard Cholesky differential, evaluated at the cascade's final
     # factor. jit_scale is treated as a constant regularizer (its tangent,
     # already zeroed by stop_gradient upstream, is ignored).
     mat, jit_scale = primals
     dmat, _ = tangents
-    L = _chol_cascade(mat, jit_scale)
+    L = _chol_cascade(mat, jit_scale, gate)
     half = solve_triangular(L, dmat, lower=True)  # L^-1 dA
     W = solve_triangular(L, jnp.swapaxes(half, -1, -2), lower=True)
     phi = jnp.tril(W) / (1.0 + jnp.eye(W.shape[-1], dtype=W.dtype))
@@ -413,8 +438,8 @@ def _jitter_lift(C_raw, C_own, jitter):
     )
 
 
-def _chain_cond(covfn, X, parent, chain_Q, chain_GinvT, jitter,
-                chain_GLT=None, group: int = 0):
+def _chain_cond(covfn, X, parent, chain_Q, chain_GG, jitter,
+                want_W: bool = False, group: int = 0, iota: bool = False):
     """Conditional pass against the *joint* ancestor-knot chain.
 
     The reference conditions sequentially down the tree (closure chain,
@@ -426,53 +451,117 @@ def _chain_cond(covfn, X, parent, chain_Q, chain_GinvT, jitter,
     covariance ``K = Sigma(Q_all, Q_all)``, whose inverse Cholesky factor
     ``Ginv = L_K^{-1}`` is precomputed *per interior node* (cheap: <= J^m
     nodes of [S, S]) by :func:`_mra_sweep_impl`'s Pass A. Each node then
-    needs a couple of large batched MXU matmuls (stashes are stored
-    transposed so every contraction is a plain NN ``dot_general`` — the NT
-    forms lowered to layout-hostile dilated convolutions on TPU):
+    needs ONE large batched MXU matmul against the fused chain stash
+    ``GG = [Ginv^T | GL^T]`` (stored transposed so the contraction is a
+    plain NN ``dot_general`` — NT forms lowered to layout-hostile dilated
+    convolutions on TPU):
 
-        Zt    = Sigma(X, Q_all) Ginv^T                 # whitened cross-cov
-        C_own = Sigma(X, X) - Zt Zt^T                  # own conditional
-        W     = Sigma(X, Q_all) GL^T                   # conditional B_lk
+        [Zt | W] = Sigma(X, Q_all) [Ginv^T | GL^T]
+        C_own    = Sigma(X, X) - Zt Zt^T               # own conditional
 
-    ``GL = blkdiag(L_chain) Ginv`` folds the per-ancestor prior factors into
-    the chain matrix (recursion ``GL = [[GL_p, 0], [-Zt Ginv_p, I]]``), so
-    the reference's B_lk blocks (MRANode.py:346-355) come out of the same
-    matmul family instead of a per-level gathered stack product.
+    where ``Zt`` is the whitened cross-covariance and ``W`` the conditional
+    ancestor basis (the reference's B_lk blocks, MRANode.py:346-355).
+    ``GL = blkdiag(L_chain) Ginv`` folds the per-ancestor prior factors
+    into the chain matrix (recursion ``GL = [[GL_p, 0], [-Zt Ginv_p, I]]``).
+    Fusing the two halves into one stash/matmul reads ``Sigma(X, Q_all)``
+    once and writes one lane-aligned ``[.., q, 2S]`` product instead of two
+    half-width (lane-padded) ones.
 
     With ``group = c > 0`` the nodes are contiguously grouped c-per-parent
     (DevicePlan.groups): each parent tile is read once (one gather row per
-    *group*, ``parent[::c]`` — the identity permutation in the serial case,
-    a contiguous slice of the replicated stashes under leaf-axis sharding)
-    and consumed by a reshaped batched matmul, instead of being gathered
-    (materialized) c times.
+    *group*, ``parent[::c]``) and consumed by a reshaped batched matmul,
+    instead of being gathered (materialized) c times. With ``iota`` the
+    plan guarantees that per-group gather is the identity permutation
+    (DevicePlan.iota_groups) and the stashes are read directly — XLA
+    cannot prove a runtime-index gather trivial and would materialize a
+    full copy of every stash.
 
-    Returns (Zt [n, q, S], C_own [n, q, q], W [n, q, S] or None).
+    Returns ``(Zt [n, q, S], C_own [n, q, q], W [n, q, S] | None,
+    Wg [n/c, c q, S] | None)`` — ``Wg`` is the group-major view of ``W``
+    (a free slice of the fused product), handed back so grouped callers
+    can aggregate head messages without re-reshaping.
     """
     n, q = X.shape[0], X.shape[1]
+    S = chain_GG.shape[-2]
+    W = Wg = None
     if group:
-        S = chain_GinvT.shape[-1]
-        gpar = parent[::group]  # [n/c] one parent row per group
         Xg = X.reshape(n // group, group * q, X.shape[-1])
-        C_all = covfn(Xg, chain_Q[gpar])  # [n/c, c q, S]
-        Zt = jnp.matmul(C_all, chain_GinvT[gpar],
-                        precision="highest").reshape(n, q, S)
-        W = None
-        if chain_GLT is not None:
-            W = jnp.matmul(C_all, chain_GLT[gpar],
-                           precision="highest").reshape(n, q, S)
+        if iota:
+            Qg, GGg = chain_Q, chain_GG
+        else:
+            gpar = parent[::group]  # [n/c] one parent row per group
+            Qg, GGg = chain_Q[gpar], chain_GG[gpar]
+        if not want_W:
+            GGg = GGg[..., :S]
+        C_all = covfn(Xg, Qg)  # [n/c, c q, S]
+        ZW = jnp.matmul(C_all, GGg, precision="highest")
+        Zt = ZW[..., :S].reshape(n, q, S)
+        if want_W:
+            Wg = ZW[..., S:]
+            W = Wg.reshape(n, q, S)
     else:
         Qp = chain_Q[parent]  # [n, S, d]
-        GpT = chain_GinvT[parent]  # [n, S, S]
+        GGp = (chain_GG if want_W else chain_GG[..., :S])[parent]
         C_all = covfn(X, Qp)  # [n, q, S]
-        Zt = jnp.matmul(C_all, GpT, precision="highest")
-        W = None
-        if chain_GLT is not None:
-            W = jnp.matmul(C_all, chain_GLT[parent], precision="highest")
+        ZW = jnp.matmul(C_all, GGp, precision="highest")
+        Zt = ZW[..., :S]
+        if want_W:
+            W = ZW[..., S:]
     C_raw = covfn(X, X)
     C_own = C_raw - jnp.einsum("nqu,npu->nqp", Zt, Zt, precision="highest")
     if jitter:
         C_own = _jitter_lift(C_raw, C_own, jitter)
-    return Zt, C_own, W
+    return Zt, C_own, W, Wg
+
+
+def prepare_obs(dplan: DevicePlan, y: jnp.ndarray, r_diag) -> tuple:
+    """Precompute the per-leaf observation tensors of a sweep.
+
+    Everything the leaf pass derives from ``(y, r_diag)`` — the per-slot
+    weights ``w = 1/R`` on observed entries, ``w*y``, and the per-leaf
+    scalars ``logdet R``, ``y^T R^-1 y`` and observation counts — is
+    independent of the covariance hyper-parameters. An MLE / HMC / NUTS
+    loop evaluates the sweep at hundreds of thetas against a FIXED data
+    vector; recomputing these inside the loop costs one [N]-element gather
+    per evaluation (the slot layout is an arbitrary permutation of the
+    location axis), which profiling showed as the single most expensive op
+    of the N=1M sweep (~13 ms — TPU element gathers run at a few elements
+    per cycle). Hoist it: call this once per data vector and pass the
+    result to :func:`mra_sweep` as ``prep=``.
+
+    Only the diagonal-R path is covered (``r_dense`` callers fall back to
+    in-loop preparation). The returned pytree is differentiable in ``y``
+    if needed, but is typically built once outside ``jit``.
+    """
+    levels = dplan.levels
+    N = dplan.n_locs
+    dtype = levels[0].int_knots.dtype if levels[0].int_knots.size else (
+        levels[0].leaf_locs.dtype
+    )
+    y = jnp.asarray(y, dtype=dtype).ravel()
+    r_diag = jnp.broadcast_to(jnp.asarray(r_diag, dtype=dtype), (N,))
+    y_ext = jnp.concatenate([y, jnp.zeros(1, dtype=dtype)])
+    r_ext = jnp.concatenate([r_diag, jnp.ones(1, dtype=dtype)])
+    out = []
+    for lvl in levels:
+        if lvl.leaf_locs.shape[0] == 0:
+            out.append(None)
+            continue
+        gidx = lvl.leaf_loc_gidx
+        y_leaf = y_ext[gidx]  # [n, P]
+        r_leaf = r_ext[gidx]
+        obs = jnp.isfinite(y_leaf) & lvl.leaf_loc_mask
+        y0 = jnp.where(obs, y_leaf, 0.0)
+        w = jnp.where(obs, 1.0 / r_leaf, 0.0)
+        out.append({
+            "w": w,
+            "wy": w * y0,
+            "logdet_R": jnp.sum(jnp.where(obs, jnp.log(r_leaf), 0.0),
+                                axis=-1),
+            "quad_y": jnp.sum(w * y0 * y0, axis=-1),
+            "n_obs": jnp.sum(obs, axis=-1).astype(dtype),
+        })
+    return tuple(out)
 
 
 def mra_sweep(
@@ -485,6 +574,7 @@ def mra_sweep(
     keep_internals: bool = False,
     axis_name: str | None = None,
     r_dense: jnp.ndarray | None = None,
+    prep: tuple | None = None,
 ):
     """Run the full MRA computation: likelihood and (optionally) prediction.
 
@@ -517,6 +607,10 @@ def mra_sweep(
         the small coarse-level computation runs replicated — the TPU-native
         replacement of the reference's critDepth fork + Pipe merge
         (MRANode.py:64-116).
+      prep: optional output of :func:`prepare_obs` for this ``(y, r_diag)``
+        — skips the per-evaluation observation gather (hoist it outside an
+        MLE/HMC loop). ``y``/``r_diag`` are then ignored on the diagonal-R
+        path.
 
     Returns:
       :class:`SweepResult` (plus an internals dict if requested).
@@ -529,12 +623,15 @@ def mra_sweep(
     with jax.default_matmul_precision("float32"):
         return _mra_sweep_impl(
             dplan, covfn, y, r_diag, compute_posterior, jitter,
-            keep_internals, axis_name, r_dense,
+            keep_internals, axis_name, r_dense, prep,
         )
 
 
 def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
-                    keep_internals, axis_name, r_dense=None):
+                    keep_internals, axis_name, r_dense=None, prep=None):
+    # cholesky retry-escalation may be cond-gated only outside shard_map
+    # (a mesh-varying cond predicate is rejected by JAX's vma checking)
+    gate = axis_name is None
     levels = dplan.levels
     M = dplan.M
     N = dplan.n_locs
@@ -554,18 +651,21 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
     # Besides each node's conditional prior Cholesky ``L``, maintain the
     # *chain* stashes consumed by _chain_cond (stored TRANSPOSED so leaf
     # contractions are NN matmuls): the stacked knot coordinates of the
-    # whole ancestor chain (own knots last), the transposed inverse Cholesky
-    # factor of their joint covariance, and the transposed B_lk composer
-    # GL = blkdiag(L) Ginv, built by the block recursions
+    # whole ancestor chain (own knots last) and the FUSED chain matrix
+    # ``GG = [Ginv^T | GL^T]`` — the transposed inverse Cholesky factor of
+    # the joint ancestor covariance side by side with the transposed B_lk
+    # composer GL = blkdiag(L) Ginv, built by the block recursions
     #   Ginv^T = [[GinvT_p, -GinvT_p Zt^T Linv^T], [0, Linv^T]]
     #   GL^T   = [[GLT_p,   -GinvT_p Zt^T       ], [0, I     ]].
+    # One [.., S, 2S] stash instead of two [.., S, S] halves: the leaf
+    # level consumes both via a single matmul, and a [.., 2S] row is
+    # lane-aligned where two [.., S] rows each pad to a full 128 lanes.
     from pymra_tpu.ops.pallas.linalg import triangular_inverse_lower
 
     r = dplan.r
     prior_L: list = [None] * (M + 1)  # chol of conditional K per interior node
     chain_Q: list = [None] * (M + 1)  # [n, (m+1) r, d] chain knots incl own
-    chain_GinvT: list = [None] * (M + 1)  # [n, (m+1) r, (m+1) r]
-    chain_GLT: list = [None] * (M + 1)
+    chain_GG: list = [None] * (M + 1)  # [n, (m+1) r, 2 (m+1) r]
     for m, lvl in enumerate(levels):
         n_int = lvl.int_knots.shape[0]
         if n_int == 0:
@@ -575,37 +675,32 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             C_own = covfn(Q, Q)
             Zt = None
         else:
-            Zt, C_own, _ = _chain_cond(
-                covfn, Q, lvl.int_parent, chain_Q[m - 1], chain_GinvT[m - 1],
+            Zt, C_own, _, _ = _chain_cond(
+                covfn, Q, lvl.int_parent, chain_Q[m - 1], chain_GG[m - 1],
                 jitter,
             )
-        L = _chol(C_own, jitter)
+        L = _chol(C_own, jitter, gate=gate)
         LinvT = jnp.swapaxes(triangular_inverse_lower(L), -1, -2)
         prior_L[m] = L
+        eye_r = jnp.broadcast_to(jnp.eye(r, dtype=dtype), (n_int, r, r))
         if m == 0:
             chain_Q[m] = Q
-            chain_GinvT[m] = LinvT
-            chain_GLT[m] = jnp.broadcast_to(
-                jnp.eye(r, dtype=dtype), (n_int, r, r)
-            )
+            chain_GG[m] = jnp.concatenate([LinvT, eye_r], axis=-1)
         else:
             S = m * r
-            GpT = chain_GinvT[m - 1][lvl.int_parent]
-            GLTp = chain_GLT[m - 1][lvl.int_parent]
+            GGp = chain_GG[m - 1][lvl.int_parent]  # [n, S, 2S]
+            GpT, GLTp = GGp[..., :S], GGp[..., S:]
             neg = -jnp.matmul(GpT, jnp.swapaxes(Zt, -1, -2),
                               precision="highest")  # [n, S, r]
             zeros_bot = jnp.zeros((n_int, r, S), dtype=dtype)
-            chain_GinvT[m] = jnp.concatenate([
+            chain_GG[m] = jnp.concatenate([
                 jnp.concatenate(
-                    [GpT, jnp.matmul(neg, LinvT, precision="highest")],
+                    [GpT, jnp.matmul(neg, LinvT, precision="highest"),
+                     GLTp, neg],
                     axis=-1,
                 ),
-                jnp.concatenate([zeros_bot, LinvT], axis=-1),
-            ], axis=-2)
-            eye_r = jnp.broadcast_to(jnp.eye(r, dtype=dtype), (n_int, r, r))
-            chain_GLT[m] = jnp.concatenate([
-                jnp.concatenate([GLTp, neg], axis=-1),
-                jnp.concatenate([zeros_bot, eye_r], axis=-1),
+                jnp.concatenate([zeros_bot, LinvT, zeros_bot, eye_r],
+                                axis=-1),
             ], axis=-2)
             chain_Q[m] = jnp.concatenate(
                 [chain_Q[m - 1][lvl.int_parent], Q], axis=-2
@@ -638,11 +733,11 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 grp = c_leaf
         if m == 0:
             C_own = covfn(X, X)
-            W = None
+            W = Wg = None
         else:
-            _, C_own, W = _chain_cond(
-                covfn, X, lvl.leaf_parent, chain_Q[m - 1], chain_GinvT[m - 1],
-                jitter, chain_GLT=chain_GLT[m - 1], group=grp,
+            _, C_own, W, Wg = _chain_cond(
+                covfn, X, lvl.leaf_parent, chain_Q[m - 1], chain_GG[m - 1],
+                jitter, want_W=True, group=grp, iota=dplan.iota_groups,
             )
         kmask = lvl.leaf_is_knot  # [n, P]
         kmask_f = kmask.astype(dtype)
@@ -653,11 +748,13 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         eyeP = jnp.eye(P, dtype=dtype)
         K_leaf = C_own * pair + (1.0 - kmask_f)[:, :, None] * eyeP
 
-        gidx = lvl.leaf_loc_gidx
-        y_leaf = y_ext[gidx]  # [n, P]
-        r_leaf = r_ext[gidx]
-        obs = jnp.isfinite(y_leaf) & lvl.leaf_loc_mask
-        y0 = jnp.where(obs, y_leaf, 0.0)
+        lvl_prep = None if (prep is None or r_dense is not None) else prep[m]
+        if lvl_prep is None:
+            gidx = lvl.leaf_loc_gidx
+            y_leaf = y_ext[gidx]  # [n, P]
+            r_leaf = r_ext[gidx]
+            obs = jnp.isfinite(y_leaf) & lvl.leaf_loc_mask
+            y0 = jnp.where(obs, y_leaf, 0.0)
 
         if r_dense is not None:
             # correlated measurement error: whiten y and B against this
@@ -670,7 +767,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             # Cholesky stays block-separated and they contribute nothing
             R_m = (R_leaf * (o[:, :, None] * o[:, None, :])
                    + (1.0 - o)[:, :, None] * eyeP)
-            L_R = _chol(R_m, jitter)
+            L_R = _chol(R_m, jitter, gate=gate)
             Bw = _tri_solve(L_R, Bstack * o[:, :, None])
             yw = _tri_solve(L_R, y0[..., None])[..., 0]
             A = jnp.einsum("npa,npb->nab", Bw, Bw, precision="highest")
@@ -683,14 +780,25 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             # A/omega formed per block (head/own) — never materializing the
             # concatenated [n, P, S+P] Bstack or the full [n, S+P, S+P] A
             # (at N=1M that tensor is 2.2 GB and its slice consumers forced
-            # an extra full-tensor relayout copy)
-            w = jnp.where(obs, 1.0 / r_leaf, 0.0)
-            wy = w * y0
-            A_oo = jnp.einsum("npa,np,npb->nab", B_own, w, B_own,
+            # an extra full-tensor relayout copy). The weighted own basis
+            # ``Bw`` is materialized once and shared by the three Gram
+            # contractions — a 3-operand einsum makes XLA scale an operand
+            # per dot, i.e. one extra [n, P, P]-sized tensor per einsum.
+            if lvl_prep is not None:
+                w, wy = lvl_prep["w"], lvl_prep["wy"]
+                logdet_R, quad_y = lvl_prep["logdet_R"], lvl_prep["quad_y"]
+            else:
+                w = jnp.where(obs, 1.0 / r_leaf, 0.0)
+                wy = w * y0
+                logdet_R = jnp.sum(jnp.where(obs, jnp.log(r_leaf), 0.0),
+                                   axis=-1)
+                quad_y = jnp.sum(w * y0 * y0, axis=-1)
+            Bw = B_own * w[:, :, None]
+            A_oo = jnp.einsum("npa,npb->nab", Bw, B_own,
                               precision="highest")
             omg_o = jnp.einsum("npa,np->na", B_own, wy, precision="highest")
             if S:
-                A_oh = jnp.einsum("npa,np,npb->nab", B_own, w, W,
+                A_oh = jnp.einsum("npa,npb->nab", Bw, W,
                                   precision="highest")
                 if not grp:
                     # per-leaf head Gram blocks (the grouped path aggregates
@@ -699,14 +807,13 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                                       precision="highest")
                     omg_h = jnp.einsum("npa,np->na", W, wy,
                                        precision="highest")
-            logdet_R = jnp.sum(jnp.where(obs, jnp.log(r_leaf), 0.0), axis=-1)
-            quad_y = jnp.sum(w * y0 * y0, axis=-1)
 
-        L_prior = _chol(K_leaf, jitter)
+        L_prior = _chol(K_leaf, jitter, gate=gate)
         prior_scale = jnp.mean(
             jnp.abs(jnp.diagonal(K_leaf, axis1=-2, axis2=-1)), axis=-1
         )
-        L_post = _chol(K_leaf + A_oo, jitter, scale=prior_scale)
+        L_post = _chol(K_leaf + A_oo, jitter, scale=prior_scale,
+                       gate=gate)
         if _use_inverse_solves(P):
             # one explicit inverse, every "solve" becomes an MXU matmul in
             # the native layout (see _use_inverse_solves)
@@ -733,7 +840,8 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
 
         # likelihood increments (log-Cholesky; leaf adds the R log-det and
         # the data quadratic form — MRANode.py:452-459)
-        n_obs = jnp.sum(obs, axis=-1).astype(dtype)
+        n_obs = (lvl_prep["n_obs"] if lvl_prep is not None
+                 else jnp.sum(obs, axis=-1).astype(dtype))
         d_leaf = (
             2.0 * (_logdiag_sum(L_post) - _logdiag_sum(L_prior)) + logdet_R
         )
@@ -749,25 +857,23 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 # same contractions over c*P rows land the downdated blocks
                 # at [n/c, S, S] instead of [n, S, S] — no per-leaf A_hh /
                 # ATil tensors in HBM (the largest intermediates of the
-                # N=1M sweep), and the upward segment-sum disappears
+                # N=1M sweep), and the upward segment-sum disappears.
+                # ``Wg`` is the group-major view from _chain_cond (a slice
+                # of the fused [n/c, cP, 2S] chain product — no reshape
+                # copy of W needed here).
                 n_par = n_leaf // grp
-                Wg = W.reshape(n_par, grp * P, S)
                 wg = w.reshape(n_par, grp * P)
+                Xblkg = Xblk.reshape(n_par, grp * P, S)
                 ATil = (
-                    jnp.einsum("nqa,nq,nqb->nab", Wg, wg, Wg,
+                    jnp.einsum("nqa,nqb->nab", Wg * wg[..., None], Wg,
                                precision="highest")
-                    - jnp.einsum(
-                        "nqa,nqb->nab",
-                        Xblk.reshape(n_par, grp * P, S),
-                        Xblk.reshape(n_par, grp * P, S),
-                        precision="highest",
-                    )
+                    - jnp.einsum("nqa,nqb->nab", Xblkg, Xblkg,
+                                 precision="highest")
                 )
                 omgTil = (
-                    jnp.einsum("nqa,nq->na", Wg, (w * y0).reshape(
+                    jnp.einsum("nqa,nq->na", Wg, wy.reshape(
                         n_par, grp * P), precision="highest")
-                    - jnp.einsum("nqa,nq->na",
-                                 Xblk.reshape(n_par, grp * P, S),
+                    - jnp.einsum("nqa,nq->na", Xblkg,
                                  v.reshape(n_par, grp * P),
                                  precision="highest")
                 )
@@ -848,7 +954,8 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         prior_scale = jnp.mean(
             jnp.abs(jnp.diagonal(Kmat, axis1=-2, axis2=-1)), axis=-1
         )
-        L_post = _chol(Kmat + A[:, S:, S:], jitter, scale=prior_scale)
+        L_post = _chol(Kmat + A[:, S:, S:], jitter, scale=prior_scale,
+                       gate=gate)
         v = _tri_solve(L_post, omg[:, S:, None])[..., 0]
         d_int_total = d_int_total + jnp.sum(
             2.0 * (_logdiag_sum(L_post) - _logdiag_sum(Kc))
@@ -894,9 +1001,11 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         #   V(node) = [[V_p, 0], [-G V_p, L_post^-T]]
         # — tiny batched matmuls over interior nodes replace round 1's
         # per-ancestor loop of gathered [n, r, r] solves over every leaf
-        # (~112 of 320 ms of the N=1M sweep).
-        post_w: list = [None] * (M + 1)
-        post_V: list = [None] * (M + 1)
+        # (~112 of 320 ms of the N=1M sweep). ``w`` rides as an extra
+        # column of ``V`` (``U = [V | w]``, [n, S, S+1]) so each leaf
+        # consumes both with ONE matmul over ``U`` instead of a matmul
+        # plus a separate mean pass over the same [n, P, S] tensor.
+        post_U: list = [None] * (M + 1)
         if not keep_internals:
             for m in range(M + 1):
                 if int_stash[m] is None:
@@ -906,26 +1015,27 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     triangular_inverse_lower(st["L_post"]), -1, -2
                 )
                 if m == 0:
-                    post_w[0] = st["g"]
-                    post_V[0] = LinvT
+                    post_U[0] = jnp.concatenate(
+                        [LinvT, st["g"][..., None]], axis=-1
+                    )
                     continue
                 par = levels[m].int_parent
-                wp = post_w[m - 1][par]  # [n, S]
-                Vp = post_V[m - 1][par]  # [n, S, S]
+                Up = post_U[m - 1][par]  # [n, S, S+1] = [V_p | w_p]
                 G = st["G"]  # [n, r, S]
-                w_own = st["g"] - jnp.einsum(
-                    "nrs,ns->nr", G, wp, precision="highest"
-                )
-                post_w[m] = jnp.concatenate([wp, w_own], axis=-1)
+                GU = jnp.matmul(G, Up, precision="highest")  # [n, r, S+1]
                 S = m * dplan.r
+                n_i = Up.shape[0]
                 top = jnp.concatenate(
-                    [Vp, jnp.zeros((Vp.shape[0], S, dplan.r), dtype=dtype)],
+                    [Up[..., :S],
+                     jnp.zeros((n_i, S, dplan.r), dtype=dtype),
+                     Up[..., S:]],
                     axis=-1,
                 )
                 bot = jnp.concatenate(
-                    [-jnp.matmul(G, Vp, precision="highest"), LinvT], axis=-1
+                    [-GU[..., :S], LinvT, (st["g"] - GU[..., S])[..., None]],
+                    axis=-1,
                 )
-                post_V[m] = jnp.concatenate([top, bot], axis=-2)
+                post_U[m] = jnp.concatenate([top, bot], axis=-2)
 
         # Reassembly strategy: the leaf domains partition the locations, so
         # with a serial (unsharded) sweep each location's posterior moment
@@ -961,33 +1071,34 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 half = _tri_solve(st["L_post"], jnp.swapaxes(T_own, -1, -2))
             var_l = jnp.sum(half * half, axis=-2)
             if S and not keep_internals:
-                # fast path: one per-parent chain contraction (grouped
-                # reshape when the level is contiguously grouped, else
-                # gathered)
+                # fast path: one per-parent chain contraction against
+                # U = [V | w] (grouped reshape when the level is
+                # contiguously grouped, else gathered) — mean and variance
+                # contributions from a single matmul over h
                 h = st["W"] - jnp.einsum(
                     "npq,nqs->nps", T_own, st["G"], precision="highest"
                 )
                 grp = st["grp"]
                 n_l, P_l = h.shape[0], h.shape[1]
                 if grp:
-                    gpar = lvl.leaf_parent[::grp]
+                    if dplan.iota_groups:
+                        Upar = post_U[m - 1]
+                    else:
+                        Upar = post_U[m - 1][lvl.leaf_parent[::grp]]
                     hg = h.reshape(n_l // grp, grp * P_l, S)
-                    mean_l = mean_l + jnp.einsum(
-                        "nps,ns->np", hg, post_w[m - 1][gpar],
-                        precision="highest",
+                    hU = jnp.matmul(hg, Upar, precision="highest")
+                    mean_l = mean_l + hU[..., S].reshape(n_l, P_l)
+                    var_l = var_l + jnp.sum(
+                        hU[..., :S] * hU[..., :S], axis=-1
                     ).reshape(n_l, P_l)
-                    hv = jnp.matmul(
-                        hg, post_V[m - 1][gpar], precision="highest"
-                    ).reshape(n_l, P_l, S)
                 else:
-                    wpar = post_w[m - 1][lvl.leaf_parent]
-                    Vpar = post_V[m - 1][lvl.leaf_parent]
-                    mean_l = mean_l + jnp.einsum(
-                        "nps,ns->np", h, wpar, precision="highest"
-                    )
-                    hv = jnp.einsum("nps,nsu->npu", h, Vpar,
+                    Upar = post_U[m - 1][lvl.leaf_parent]
+                    hU = jnp.einsum("nps,nsu->npu", h, Upar,
                                     precision="highest")
-                var_l = var_l + jnp.sum(hv * hv, axis=-1)
+                    mean_l = mean_l + hU[..., S]
+                    var_l = var_l + jnp.sum(
+                        hU[..., :S] * hU[..., :S], axis=-1
+                    )
             elif S:
                 # keep_internals: replay the per-ancestor downdates so the
                 # BTil blocks can be stashed for basis-matrix assembly
@@ -1025,8 +1136,26 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     mode="drop",
                 )
         if use_gather and mean_parts:
-            mean_out = jnp.concatenate(mean_parts)[dplan.post_inv]
-            var_out = jnp.concatenate(var_parts)[dplan.post_inv]
+            # post_inv is a permutation into the slot concatenation: tell
+            # XLA the indices are unique and in bounds (skips clamping).
+            # mean and var ride one gather as the real/imag halves of a
+            # complex64 vector — TPU element gathers cost per *index* (a
+            # few cycles each), so packing 8 bytes per index halves the
+            # most expensive single op of the N=1M posterior (2 x 7.5 ms
+            # measured for the separate f32 gathers).
+            if dtype == jnp.float32:
+                mv = jax.lax.complex(jnp.concatenate(mean_parts),
+                                     jnp.concatenate(var_parts))
+                mv = mv.at[dplan.post_inv].get(
+                    unique_indices=True, mode="promise_in_bounds")
+                mean_out = jnp.real(mv)
+                var_out = jnp.imag(mv)
+            else:
+                mean_out = jnp.concatenate(mean_parts).at[
+                    dplan.post_inv].get(
+                    unique_indices=True, mode="promise_in_bounds")
+                var_out = jnp.concatenate(var_parts).at[dplan.post_inv].get(
+                    unique_indices=True, mode="promise_in_bounds")
         if axis_name is not None:
             mean_out = jax.lax.psum(mean_out, axis_name)
             var_out = jax.lax.psum(var_out, axis_name)
@@ -1036,7 +1165,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         return result, {
             "prior_L": prior_L,
             "chain_Q": chain_Q,
-            "chain_GinvT": chain_GinvT,
+            "chain_GG": chain_GG,
             "leaf": leaf_stash,
             "interior": int_stash,
         }

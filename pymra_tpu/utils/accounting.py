@@ -17,9 +17,13 @@ distance + an exp — exact value is kernel-family-dependent and small
 either way); HBM bytes count each materialized tensor as one write plus
 one read per consumer (XLA fuses elementwise chains, so masking/weighting
 steps are *not* counted as extra traffic). Cholesky costs ``n*p^3/3``; the
-jitter-escalation cascade executes every factorization ``CHOL_CASCADE``
-(=3) times unconditionally — ``flops_executed`` counts that, ``flops``
-(the MFU numerator) counts the useful work once.
+jitter-escalation cascade can execute every factorization up to
+``CHOL_CASCADE`` (=3) times — ``flops_executed`` counts that worst case,
+``flops`` (the MFU numerator) counts the useful work once. Since round 3
+the retries are ``lax.cond``-gated on serial (unsharded) sweeps, so the
+clean-case executed work equals ``flops``; the worst case still applies
+under ``shard_map`` (the gate is off inside a mesh) and under ``vmap``
+(cond lowers to select).
 """
 from __future__ import annotations
 

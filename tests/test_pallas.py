@@ -207,3 +207,55 @@ class TestCholeskyBlocked:
             * jnp.eye(96, dtype=m.dtype))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestTriangularInverse:
+    """triangular_inverse_lower: recursion path, lane-kernel path, VJP."""
+
+    def test_recursive_matches_solve(self):
+        from pymra_tpu.ops.pallas.linalg import triangular_inverse_lower
+
+        for p in (3, 8, 17, 28, 96):
+            l = jnp.tril(_spd(jax.random.key(3), 5, p))
+            got = triangular_inverse_lower(l)
+            want = solve_triangular(
+                l, jnp.broadcast_to(jnp.eye(p, dtype=l.dtype), l.shape),
+                lower=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-3, atol=2e-4)
+
+    def test_lane_kernel_matches_recursive(self):
+        # exercise the Pallas kernel directly (interpret mode on CPU; the
+        # public dispatcher only selects it on a TPU backend)
+        from pymra_tpu.ops.pallas.linalg import (
+            _from_lanes,
+            _to_lanes,
+            _tri_inv_lanes,
+            _tri_inv_recursive,
+        )
+
+        l = jnp.tril(_spd(jax.random.key(4), 140, 17)).astype(jnp.float32)
+        l_t, batch = _to_lanes(l)
+        got = _from_lanes(_tri_inv_lanes(l_t), batch)
+        want = _tri_inv_recursive(l)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_vjp_matches_solve_autodiff(self):
+        from pymra_tpu.ops.pallas.linalg import triangular_inverse_lower
+
+        l0 = jnp.tril(_spd(jax.random.key(5), 2, 6))
+
+        def f_ours(s):
+            return jnp.sum(jnp.sin(triangular_inverse_lower(l0 * s)))
+
+        def f_ref(s):
+            ls = l0 * s
+            inv = solve_triangular(
+                ls, jnp.broadcast_to(jnp.eye(6, dtype=ls.dtype), ls.shape),
+                lower=True)
+            return jnp.sum(jnp.sin(inv))
+
+        g0 = jax.grad(f_ours)(1.3)
+        g1 = jax.grad(f_ref)(1.3)
+        np.testing.assert_allclose(float(g0), float(g1), rtol=1e-5)

@@ -175,11 +175,11 @@ class TestShardedEquivalence:
         seen_groups = []
         orig = sw._chain_cond
 
-        def probe(covfn, X, parent, chain_Q, chain_GinvT, jitter,
-                  chain_GLT=None, group=0):
+        def probe(covfn, X, parent, chain_Q, chain_GG, jitter,
+                  want_W=False, group=0, iota=False):
             seen_groups.append(group)
-            return orig(covfn, X, parent, chain_Q, chain_GinvT, jitter,
-                        chain_GLT=chain_GLT, group=group)
+            return orig(covfn, X, parent, chain_Q, chain_GG, jitter,
+                        want_W=want_W, group=group, iota=iota)
 
         monkeypatch.setattr(sw, "_chain_cond", probe)
         shd = sharded_sweep(model.dplan, kern, y, 1e-3, mesh8)

@@ -355,3 +355,45 @@ class TestCholCascade:
         g0 = jax.grad(f_ours)(1.7)
         g1 = jax.grad(f_jnp)(1.7)
         np.testing.assert_allclose(float(g0), float(g1), rtol=1e-8)
+
+
+class TestPreparedObs:
+    """mra_sweep(prep=prepare_obs(...)) is bit-identical to the inline path
+    (the prepared tensors are exactly what the leaf pass would build)."""
+
+    def test_prep_equivalence_full_sweep(self):
+        from pymra_tpu.tree.sweep import mra_sweep, prepare_obs
+
+        locs = gen_locations_2d(9)
+        kern = kernels.Kernel("matern32", l=0.3, sig=1.1)
+        y = _make_data(locs, kern, 1e-3, 0.8, 7)
+        model = MRAModel(locs, r=4, M=2, J=4)
+        r_diag = np.full(len(locs), 1e-3)
+        r_diag[::3] = 5e-3  # non-scalar diagonal R
+        base = mra_sweep(model.dplan, kern, y, r_diag,
+                         compute_posterior=True, jitter=model.jitter)
+        prep = prepare_obs(model.dplan, y, r_diag)
+        got = mra_sweep(model.dplan, kern, y, r_diag,
+                        compute_posterior=True, jitter=model.jitter,
+                        prep=prep)
+        np.testing.assert_array_equal(np.asarray(base.objective),
+                                      np.asarray(got.objective))
+        np.testing.assert_array_equal(np.asarray(base.mean),
+                                      np.asarray(got.mean))
+        np.testing.assert_array_equal(np.asarray(base.var),
+                                      np.asarray(got.var))
+
+    def test_loglik_fn_uses_prep_and_matches(self):
+        import jax
+        import jax.numpy as jnp
+
+        locs = gen_locations(40)
+        kern_b = lambda th: kernels.Kernel("exponential", l=jnp.exp(th))
+        y = _make_data(locs, kern_b(jnp.log(1.5)), 1e-3, 0.7, 3)
+        model = MRAModel(locs, r=3, M=2)
+        f = model.loglik_fn(y, 1e-3, kernel_builder=kern_b)
+        want = model.loglik(kern_b(jnp.asarray(0.2)), y, 1e-3)
+        got = f(jnp.asarray(0.2))
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
+        g = jax.grad(f)(jnp.asarray(0.2))
+        assert np.isfinite(float(g))
