@@ -102,13 +102,21 @@ def _bench_n10k():
     return stats
 
 
-def _bench_n1m(r=8):
+def _bench_n1m(r=8, M=None):
+    """N=10^6 flagship. The tree is TPU-shaped by default
+    (``plan.tpu_shaped_M``: leaves ~64 points, 95% slot fill, minor dims
+    half a lane register) rather than the reference-derived depth (leaves
+    ~28 points at 54% fill, 4.6x lane-padding tax) — measured 1.55x faster
+    at statistically equal-or-better held-out accuracy
+    (benchmarks/bench_tree_shape.py, BENCHNOTES.md). Pass ``M`` to pin a
+    depth; the reference-derived shape is also timed each run and recorded
+    as ``n1M_refshape_per_eval_ms``."""
     import jax
     import jax.numpy as jnp
 
     from pymra_tpu.kernels import Kernel
     from pymra_tpu.tree.model import MRAModel
-    from pymra_tpu.tree.plan import PlanConfig
+    from pymra_tpu.tree.plan import PlanConfig, tpu_shaped_M
     from pymra_tpu.tree.sweep import mra_sweep, prepare_obs
     from pymra_tpu.utils.locations import gen_locations_2d
     from pymra_tpu.utils.profiling import chained_throughput
@@ -117,9 +125,11 @@ def _bench_n1m(r=8):
     rng = np.random.default_rng(0)
     y = rng.standard_normal(len(locs)).astype(np.float32)
     y[rng.random(len(locs)) > 0.9] = np.nan
+    if M is None:
+        M = tpu_shaped_M(len(locs), r)
 
     t0 = time.time()
-    model = MRAModel(locs, r=r, dtype=jnp.float32,
+    model = MRAModel(locs, r=r, M=M, dtype=jnp.float32,
                      config=PlanConfig(r=r, kmeans_impl="native"))
     plan_s = time.time() - t0
 
@@ -239,6 +249,14 @@ def main():
             extra["n1M_scaling_eff_32chip"] = proj["projection"][5][
                 "scaling_efficiency"]
             extra["n1M_psum_total_mbytes"] = proj["psum_total_mbytes"]
+            extra["n1M_M"] = s1m["dplan"].M
+            # reference-derived tree shape (leaves ~r points), for
+            # comparability with rounds 1-2 and the reference semantics
+            if os.environ.get("PYMRA_BENCH_SKIP_REFSHAPE", "0") != "1":
+                s1m_ref = _bench_n1m(M=-1)
+                extra["n1M_refshape_per_eval_ms"] = round(
+                    1000 * s1m_ref["per_eval_s"], 1)
+                extra["n1M_refshape_M"] = s1m_ref["dplan"].M
         except Exception as e:  # never lose the headline to the stretch run
             extra["n1M_error"] = repr(e)[:200]
             s1m = None

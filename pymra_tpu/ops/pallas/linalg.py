@@ -33,8 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["cholesky", "cholesky_blocked", "cholesky_jittered",
-           "solve_triangular_batched", "triangular_inverse_lower",
-           "pallas_available"]
+           "cholesky_cascade_lanes", "solve_triangular_batched",
+           "triangular_inverse_lower", "pallas_available"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -114,10 +114,11 @@ def _chol_kernel(p: int):
 
 
 def _chol_jittered_kernel(p: int, factors: tuple[float, ...]):
+    from jax.experimental import pallas as pl
+
     def kernel(a_ref, j_ref, l_ref, f_ref):
         # a_ref: [P, P, Bc]; j_ref/f_ref: [1, Bc]; batch on lanes.
-        a0 = a_ref[:]
-        dt = a0.dtype
+        dt = a_ref.dtype
         js = j_ref[0, :]  # [Bc] per-matrix jitter magnitude
         rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
@@ -126,7 +127,9 @@ def _chol_jittered_kernel(p: int, factors: tuple[float, ...]):
                 ).astype(dt)
 
         def run(jfac):
-            a = a0 + diag * (js * jfac)[None, None, :]
+            # re-read the input block per attempt instead of pinning a
+            # copy across the whole kernel (halves peak scoped VMEM)
+            a = a_ref[:] + diag * (js * jfac)[None, None, :]
             l = jnp.zeros_like(a)
             for j in range(p):
                 piv = jnp.sqrt(a[j, j, :])
@@ -138,15 +141,35 @@ def _chol_jittered_kernel(p: int, factors: tuple[float, ...]):
             return l
 
         l = run(factors[0])
-        f = jnp.full(js.shape, factors[0], dtype=dt)
-        for fac in factors[1:]:
-            # escalate only the lanes whose factorization went indefinite;
-            # the retry is recomputed entirely in VMEM (no extra HBM pass)
-            bad = jnp.any(jnp.isnan(l), axis=(0, 1))  # [Bc]
-            l = jnp.where(bad[None, None, :], run(fac), l)
-            f = jnp.where(bad, jnp.full_like(f, fac), f)
         l_ref[:] = l
-        f_ref[0, :] = f
+        f_ref[0, :] = jnp.full(js.shape, factors[0], dtype=dt)
+
+        # Escalate ONLY when some lane in this chunk came out indefinite —
+        # predicated in-kernel (pl.when), so the clean case costs nothing
+        # beyond the NaN reduction. This replaces both the unconditional
+        # 3x recompute (round 1's measured regression for this kernel) and
+        # an XLA-level lax.cond around the cascade. The retry factors are
+        # walked by an in-kernel fori_loop so the factorization body is
+        # traced ONCE here (unrolling it per factor doubled Mosaic's live
+        # scratch and overflowed scoped VMEM at P=64: 33.2M vs the 16M
+        # stack limit).
+        @pl.when(jnp.any(jnp.isnan(l)))
+        def _():
+            def retry(i, carry):
+                l2 = l_ref[:]
+                bad = jnp.any(jnp.isnan(l2), axis=(0, 1))  # [Bc]
+                # select the i-th escalation factor without a captured
+                # constant array (Pallas kernels may only close over
+                # scalars)
+                fac = jnp.float32(factors[1]).astype(dt)
+                for j_, f_ in enumerate(factors[2:], start=1):
+                    fac = jnp.where(i == j_, jnp.float32(f_).astype(dt), fac)
+                lr = run(fac)
+                l_ref[:] = jnp.where(bad[None, None, :], lr, l2)
+                f_ref[0, :] = jnp.where(bad, fac, f_ref[0, :])
+                return carry
+
+            jax.lax.fori_loop(0, len(factors) - 1, retry, 0)
 
     return kernel
 
@@ -352,6 +375,36 @@ def _cholesky_jittered_lanes(mat_t: jnp.ndarray, jit_t: jnp.ndarray,
         interpret=interpret,
     )(mat_t, jit_t)
     return l[..., :b], f[0, :b]
+
+
+def cholesky_cascade_lanes(mat: jnp.ndarray, jit_diag: jnp.ndarray,
+                           factors: tuple[float, ...] = (1.0, 1e2, 1e4)
+                           ) -> jnp.ndarray:
+    """Unconditional jitter-escalating Cholesky with ONE relayout round trip.
+
+    The escalation cascade runs the factorization at every factor and
+    selects per batch member by NaN-ness — no predication anywhere (both
+    ``lax.cond`` and ``pl.when`` gating correlate with pathological TPU
+    compiles inside chained fori_loop programs, BENCHNOTES.md round 3).
+    Unlike calling :func:`cholesky` per factor, the batch is transposed to
+    the lane-batched layout ONCE and each attempt adds its jitter in lane
+    space — at the N=1M M=7 leaf shape ([16384, 64, 64], 536 MB) the per-
+    attempt relayouts were ~2/3 of the cascade's HBM traffic.
+
+    Primal only (NaN-selecting semantics identical to the jnp cascade in
+    ``tree/sweep._chol_cascade``, which wraps this behind its custom JVP).
+    """
+    mat_t, batch = _to_lanes(mat)
+    jit_flat = (jnp.broadcast_to(jit_diag, batch).reshape(-1) if batch
+                else jnp.broadcast_to(jit_diag, (1,)))
+    p = mat_t.shape[0]
+    eye_t = jnp.eye(p, dtype=mat_t.dtype)[..., None]
+    c_t = _cholesky_lanes(mat_t + eye_t * (factors[0] * jit_flat)[None, None])
+    for f in factors[1:]:
+        bad = jnp.any(jnp.isnan(c_t), axis=(0, 1))[None, None, :]
+        retry = _cholesky_lanes(mat_t + eye_t * (f * jit_flat)[None, None])
+        c_t = jnp.where(bad, retry, c_t)
+    return _from_lanes(c_t, batch)
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from pymra_tpu.tree.sweep import DeviceLevel, DevicePlan, mra_sweep
+from pymra_tpu.tree.sweep import (
+    DeviceLevel,
+    DevicePlan,
+    mra_sweep,
+    prepare_obs,
+)
 
 __all__ = ["pad_plan_for_sharding", "sharded_sweep", "sharded_loglik_fn"]
 
@@ -114,12 +119,19 @@ def sharded_sweep(
     axis: str = "data",
     compute_posterior: bool = True,
     jitter: float = 0.0,
+    prep: tuple | None = None,
 ):
     """Run the MRA sweep with leaves sharded over ``mesh`` axis ``axis``.
 
     Results are numerically equivalent to the single-device
     :func:`pymra_tpu.tree.sweep.mra_sweep` (the only difference is summation
     order inside the per-level psum).
+
+    ``prep``: optional prepared observation tensors for the PADDED plan —
+    build with ``prepare_obs(pad_plan_for_sharding(dplan, n_shards), y,
+    r_diag)``. Their leaf-axis arrays are sharded like the plan's; dummy
+    padding leaves carry zero weight so they stay inert. Hoist this outside
+    an MLE/HMC loop (see :func:`sharded_loglik_fn`).
     """
     n_shards = mesh.shape[axis]
     dplan_p = pad_plan_for_sharding(dplan, n_shards)
@@ -127,40 +139,49 @@ def sharded_sweep(
     r_diag = jnp.broadcast_to(jnp.asarray(r_diag, dtype=y.dtype),
                               (dplan.n_locs,))
     cov_specs = jax.tree.map(lambda _: P(), covfn)
+    prep_specs = jax.tree.map(lambda _: P(axis), prep)
     out_specs = jax.tree.map(lambda _: P(), jax.eval_shape(
-        lambda dp, cv, yy, rr: mra_sweep(
+        lambda dp, cv, yy, rr, pp: mra_sweep(
             dp, cv, yy, rr, compute_posterior=compute_posterior,
-            jitter=jitter),
-        dplan_p, covfn, y, r_diag,
+            jitter=jitter, prep=pp),
+        dplan_p, covfn, y, r_diag, prep,
     ))
 
-    def body(dp, cv, yy, rr):
+    def body(dp, cv, yy, rr, pp):
         return mra_sweep(
             dp, cv, yy, rr,
             compute_posterior=compute_posterior,
             jitter=jitter,
             axis_name=axis,
+            prep=pp,
         )
 
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(_plan_specs(dplan_p, axis), cov_specs, P(), P()),
+        in_specs=(_plan_specs(dplan_p, axis), cov_specs, P(), P(),
+                  prep_specs),
         out_specs=out_specs,
     )
-    return fn(dplan_p, covfn, y, r_diag)
+    return fn(dplan_p, covfn, y, r_diag, prep)
 
 
 def sharded_loglik_fn(dplan: DevicePlan, y, r_diag, mesh: Mesh,
                       axis: str = "data", jitter: float = 0.0):
     """``theta -> loglik`` with leaf-sharded evaluation, for gradient-based
-    inference on spatial domains too large for one chip."""
+    inference on spatial domains too large for one chip.
+
+    The padded plan's observation tensors are prepared once here, so each
+    evaluation of the returned function skips the per-leaf gather of ``y``
+    (same hoisting as ``MRAModel.loglik_fn``)."""
     y = jnp.asarray(y).ravel()
+    dplan_p = pad_plan_for_sharding(dplan, mesh.shape[axis])
+    prep = prepare_obs(dplan_p, y, r_diag)
 
     def fn(cov):
         return sharded_sweep(
             dplan, cov, y, r_diag, mesh, axis=axis,
-            compute_posterior=False, jitter=jitter,
+            compute_posterior=False, jitter=jitter, prep=prep,
         ).loglik
 
     return fn

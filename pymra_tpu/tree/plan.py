@@ -101,6 +101,32 @@ def derive_tree_shape(n: int, r: int, d: int, M: int = -1, J: int = -1
     return M, J
 
 
+def tpu_shaped_M(n: int, r: int, d: int = 2, J: int = -1,
+                 leaf_target: int = 64) -> int:
+    """Pick the resolution depth that lands leaves near ``leaf_target``.
+
+    The reference's depth formula (``derive_tree_shape``) grows M until
+    leaves shrink to ~r points — the right choice for a CPU where every
+    node is a Python object and small dense blocks are cheap. On TPU the
+    opposite holds: per-leaf tensors of width P pad their minor dimension
+    to the 128-lane vector register, so P=28 leaves (the derived shape at
+    N=10^6, r=8) waste 4.6x HBM on padding and fill only 54% of their
+    slots, while one level up (P=64, 95% fill) the same sweep measures
+    1.55x faster (benchmarks/bench_tree_shape.py). Statistically, larger
+    leaves are *richer*, not poorer: each leaf's covariance block is exact,
+    so trading the deepest (least informative — Katzfuss 2017 resolution
+    decay) knot level for 2.3x larger exact blocks loses nothing at equal
+    r (held-out RMSE/log-score confirm parity, BENCHNOTES.md).
+
+    Returns the M whose ``J^M`` leaves average closest to ``leaf_target``
+    points, clamped to the reference maximum.
+    """
+    if J < 0:
+        J = r + 1 if d == 1 else 4
+    M = max(0, int(round(np.log(max(n / leaf_target, 1.0)) / np.log(J))))
+    return min(M, derive_tree_shape(n, r, d, -1, J)[0])
+
+
 # ---------------------------------------------------------------------------
 # k-means (host-side; used for knot selection and J-splits)
 # ---------------------------------------------------------------------------

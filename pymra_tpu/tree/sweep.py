@@ -321,8 +321,7 @@ def _use_inverse_solves(p: int) -> bool:
     return pallas_available() and p >= 16
 
 
-def _chol(mat: jnp.ndarray, jitter, scale=None, gate: bool = True
-          ) -> jnp.ndarray:
+def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
     """Cholesky with scale-relative diagonal regularization.
 
     The jitter is scaled by the mean diagonal magnitude so it stays
@@ -336,6 +335,19 @@ def _chol(mat: jnp.ndarray, jitter, scale=None, gate: bool = True
     The jitter scale is ``stop_gradient``-ed: the regularizer is structural,
     and differentiating through its diagonal coupling adds O(jitter) noise
     to hyper-parameter gradients for no statistical benefit.
+
+    Retry-gating policy (measured round 3, BENCHNOTES.md): skipping the
+    escalations when no batch member is indefinite saves ~10-20% of small-
+    problem eval time, but BOTH gating mechanisms — an XLA ``lax.cond``
+    around the cascade AND a ``pl.when``-predicated retry inside the fused
+    Pallas kernel — correlate with order-of-magnitude TPU compile blowups
+    when the sweep sits inside a chained ``fori_loop`` (442 s / 1112 s at
+    N=10^4 vs ~20 s ungated; the same compiler-interaction class as round
+    2's 534 s scatter regression). Compile-time on this backend is also
+    heavily load-dependent, so the default is the compile-safe
+    unconditional cascade; set ``PYMRA_CHOL=fused`` to opt into the
+    pl.when-gated fused kernel (one lane-relayout round trip, clean case
+    costs one factorization) where cold-compile latency doesn't matter.
     """
     import os
 
@@ -346,71 +358,71 @@ def _chol(mat: jnp.ndarray, jitter, scale=None, gate: bool = True
         scale = jnp.mean(jnp.abs(d), axis=-1)
     scale = jax.lax.stop_gradient(scale)[..., None, None] + 1.0
     jit_scale = jnp.asarray(jitter, mat.dtype) * scale
-    if os.environ.get("PYMRA_CHOL") == "fused":
-        # ops/pallas/linalg.cholesky_jittered fuses the retry cascade into
-        # one kernel launch (pad/transpose the batch to lanes once instead
-        # of three times). Measured slower at N=10k round 1 (unconditional
-        # 3x in-VMEM recompute, smaller lane chunks) — env knob for A/B.
+    if os.environ.get("PYMRA_CHOL", "cascade") == "fused":
         from pymra_tpu.ops.pallas.linalg import (
             cholesky_jittered,
             pallas_available,
         )
 
+        # P <= 48: the gated kernel's Mosaic scratch (~14 live [P, P, 128]
+        # buffers across the main path + predicated retry) stays inside
+        # the 16M scoped-VMEM stack; measured 28.4M at P=64, so wider
+        # factors fall back to the unconditional cascade (3x the plain
+        # Pallas kernel, ~6M scratch — the round-2 configuration).
         if pallas_available() and mat.dtype == jnp.float32 \
-                and mat.shape[-1] <= 80:
+                and mat.shape[-1] <= 48:
             return cholesky_jittered(mat, jit_scale[..., 0, 0])
-    return _chol_cascade(mat, jit_scale, gate)
+    return _chol_cascade(mat, jit_scale)
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
-def _chol_cascade(mat: jnp.ndarray, jit_scale: jnp.ndarray,
-                  gate: bool = True) -> jnp.ndarray:
-    """Jitter-escalating batched Cholesky (primal).
+@jax.custom_jvp
+def _chol_cascade(mat: jnp.ndarray, jit_scale: jnp.ndarray) -> jnp.ndarray:
+    """Jitter-escalating batched Cholesky (primal; CPU/f64 and P>80 paths).
 
     Factorizes ``mat + jit_scale*I``; batch members that come back NaN
     (numerically indefinite — e.g. near-duplicate fine-scale points deep in
     the tree) are retried at 1e2x and 1e4x jitter, per-member, via
-    ``jnp.where`` selects.
-
-    With ``gate=True`` (static) the retries sit behind one ``lax.cond`` on
-    a whole-batch any-NaN predicate: in the (overwhelmingly common)
-    all-clean case the two escalation factorizations — and, on TPU, their
-    lane-relayout passes over the full batch — are skipped entirely. Under
-    ``vmap`` (chains/particles) the cond lowers to a select that executes
-    both branches, i.e. exactly the unconditional cascade, so nothing
-    regresses. The gate must be OFF inside ``shard_map``: the predicate
-    would be varying over the mesh axis and JAX's vma checking rejects
-    such a cond (``_mra_sweep_impl`` passes ``gate = axis_name is None``).
+    ``jnp.where`` selects. Unconditional on purpose — see ``_chol`` for
+    why a ``lax.cond`` gate is off the table; the hot TPU path gets its
+    gating inside the fused Pallas kernel instead.
 
     Differentiation is NOT traced through this cascade: the custom JVP below
     linearizes against the final selected factor only, so an escalated (or
     still-NaN) member's discarded factorizations can never poison the
     gradients of healthy batch members through the Cholesky pullback.
+
+    TPU f32 path: :func:`ops.pallas.linalg.cholesky_cascade_lanes` — the
+    same unconditional NaN-select semantics, but the batch is transposed
+    to the lane layout once for all three attempts instead of once per
+    attempt (the relayouts were ~2/3 of the cascade's HBM traffic at the
+    N=1M leaf shape).
     """
+    from pymra_tpu.ops.pallas.linalg import (
+        cholesky_cascade_lanes,
+        pallas_available,
+    )
+
+    if (pallas_available() and mat.dtype == jnp.float32
+            and mat.shape[-1] <= 80):
+        return cholesky_cascade_lanes(mat, jit_scale[..., 0, 0])
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
     c = _chol_impl(mat + jit_scale * eye)
-
-    def _escalate(c):
-        for factor in (1e2, 1e4):
-            bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[..., None, None]
-            retry = _chol_impl(mat + (factor * jit_scale) * eye)
-            c = jnp.where(bad, retry, c)
-        return c
-
-    if not gate:
-        return _escalate(c)
-    return jax.lax.cond(jnp.any(jnp.isnan(c)), _escalate, lambda x: x, c)
+    for factor in (1e2, 1e4):
+        bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[..., None, None]
+        retry = _chol_impl(mat + (factor * jit_scale) * eye)
+        c = jnp.where(bad, retry, c)
+    return c
 
 
 @_chol_cascade.defjvp
-def _chol_cascade_jvp(gate, primals, tangents):
+def _chol_cascade_jvp(primals, tangents):
     # dL = L * Phi(L^-1 dA L^-T), Phi = strictly-lower + half-diagonal —
     # the standard Cholesky differential, evaluated at the cascade's final
     # factor. jit_scale is treated as a constant regularizer (its tangent,
     # already zeroed by stop_gradient upstream, is ignored).
     mat, jit_scale = primals
     dmat, _ = tangents
-    L = _chol_cascade(mat, jit_scale, gate)
+    L = _chol_cascade(mat, jit_scale)
     half = solve_triangular(L, dmat, lower=True)  # L^-1 dA
     W = solve_triangular(L, jnp.swapaxes(half, -1, -2), lower=True)
     phi = jnp.tril(W) / (1.0 + jnp.eye(W.shape[-1], dtype=W.dtype))
@@ -629,9 +641,6 @@ def mra_sweep(
 
 def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     keep_internals, axis_name, r_dense=None, prep=None):
-    # cholesky retry-escalation may be cond-gated only outside shard_map
-    # (a mesh-varying cond predicate is rejected by JAX's vma checking)
-    gate = axis_name is None
     levels = dplan.levels
     M = dplan.M
     N = dplan.n_locs
@@ -679,7 +688,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 covfn, Q, lvl.int_parent, chain_Q[m - 1], chain_GG[m - 1],
                 jitter,
             )
-        L = _chol(C_own, jitter, gate=gate)
+        L = _chol(C_own, jitter)
         LinvT = jnp.swapaxes(triangular_inverse_lower(L), -1, -2)
         prior_L[m] = L
         eye_r = jnp.broadcast_to(jnp.eye(r, dtype=dtype), (n_int, r, r))
@@ -767,7 +776,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             # Cholesky stays block-separated and they contribute nothing
             R_m = (R_leaf * (o[:, :, None] * o[:, None, :])
                    + (1.0 - o)[:, :, None] * eyeP)
-            L_R = _chol(R_m, jitter, gate=gate)
+            L_R = _chol(R_m, jitter)
             Bw = _tri_solve(L_R, Bstack * o[:, :, None])
             yw = _tri_solve(L_R, y0[..., None])[..., 0]
             A = jnp.einsum("npa,npb->nab", Bw, Bw, precision="highest")
@@ -808,12 +817,11 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     omg_h = jnp.einsum("npa,np->na", W, wy,
                                        precision="highest")
 
-        L_prior = _chol(K_leaf, jitter, gate=gate)
+        L_prior = _chol(K_leaf, jitter)
         prior_scale = jnp.mean(
             jnp.abs(jnp.diagonal(K_leaf, axis1=-2, axis2=-1)), axis=-1
         )
-        L_post = _chol(K_leaf + A_oo, jitter, scale=prior_scale,
-                       gate=gate)
+        L_post = _chol(K_leaf + A_oo, jitter, scale=prior_scale)
         if _use_inverse_solves(P):
             # one explicit inverse, every "solve" becomes an MXU matmul in
             # the native layout (see _use_inverse_solves)
@@ -954,8 +962,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         prior_scale = jnp.mean(
             jnp.abs(jnp.diagonal(Kmat, axis1=-2, axis2=-1)), axis=-1
         )
-        L_post = _chol(Kmat + A[:, S:, S:], jitter, scale=prior_scale,
-                       gate=gate)
+        L_post = _chol(Kmat + A[:, S:, S:], jitter, scale=prior_scale)
         v = _tri_solve(L_post, omg[:, S:, None])[..., 0]
         d_int_total = d_int_total + jnp.sum(
             2.0 * (_logdiag_sum(L_post) - _logdiag_sum(Kc))

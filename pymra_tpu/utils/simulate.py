@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["simulate_grf", "make_observations"]
+__all__ = ["simulate_grf", "simulate_grf_grid", "make_observations"]
 
 
 def simulate_grf(key, locs, covfn, mean=0.0, jitter: float = 0.0):
@@ -55,3 +55,74 @@ def make_observations(key, x, me_scale, frac_obs: float = 1.0):
     mask = jnp.zeros(n, dtype=bool).at[perm[:n_obs]].set(True)
     y_obs = jnp.where(mask, y, jnp.nan)
     return y_obs, mask
+
+
+def simulate_grf_grid(seed, nx, ny=0, covfn=None, lbx=0.0, ubx=1.0,
+                      lby=0.0, uby=1.0, dtype="float32"):
+    """Exact stationary-GRF sample on a regular 2-D grid in O(N log N).
+
+    Circulant embedding: the grid covariance is nested-block-Toeplitz, so
+    embedding it in a doubly-circulant matrix on a ``2nx x 2ny`` torus
+    diagonalizes it by the 2-D DFT. One FFT of the base row gives the
+    eigenvalues; one inverse FFT of spectrally-scaled complex normals gives
+    TWO independent samples (real and imaginary parts); the ``ny x nx``
+    corner is an exact draw of the field. The reference can only simulate
+    via dense Cholesky (pyMRA/MRATools.py:435-484) — O(N^3), infeasible
+    beyond ~2*10^4 points; this generates the N=10^6 benchmark fields
+    exactly.
+
+    The embedding uses the torus minimum-image distance; for points inside
+    the corner that equals the true distance, so the restriction is exact
+    whenever the eigenvalues come out non-negative (tiny negative values
+    from float round-off are clipped; a warning is raised if the clipped
+    mass is material).
+
+    Args:
+      seed: integer seed (numpy RNG; host-side sampling).
+      nx, ny: grid size, matching :func:`gen_locations_2d` (row order:
+        x fastest).
+      covfn: isotropic covariance of distance, e.g. a
+        :class:`pymra_tpu.kernels.Kernel` (called with two point sets) or a
+        callable ``d -> cov(d)``.
+
+    Returns:
+      ``[nx * ny]`` float array in ``gen_locations_2d`` row order.
+    """
+    import warnings
+
+    import numpy as np
+
+    if not ny:
+        ny = nx
+    dx = (ubx - lbx) / (nx - 1) if nx > 1 else 1.0
+    dy = (uby - lby) / (ny - 1) if ny > 1 else 1.0
+    mx, my = 2 * nx, 2 * ny
+    ix = np.minimum(np.arange(mx), mx - np.arange(mx)) * dx
+    iy = np.minimum(np.arange(my), my - np.arange(my)) * dy
+    d = np.sqrt(ix[None, :] ** 2 + iy[:, None] ** 2)  # [my, mx]
+    try:  # Kernel-style callable of two point sets
+        import numpy as _np
+
+        probe = covfn(_np.zeros((1, 2)), _np.zeros((1, 2)))
+        base = np.asarray(
+            covfn(np.stack([d.ravel(), np.zeros(d.size)], -1),
+                  np.zeros((1, 2)))
+        ).reshape(d.shape)
+        del probe
+    except Exception:  # plain d -> cov(d) callable
+        base = np.asarray(covfn(d))
+    lam = np.fft.fft2(base).real
+    neg = lam < 0
+    if neg.any():
+        mass = -lam[neg].sum() / lam[~neg].sum()
+        if mass > 1e-6:
+            warnings.warn(
+                f"circulant embedding clipped {mass:.2e} negative spectral "
+                "mass; sample is approximate (enlarge the embedding)"
+            )
+        lam = np.maximum(lam, 0.0)
+    rng = np.random.default_rng(seed)
+    e = rng.standard_normal((my, mx)) + 1j * rng.standard_normal((my, mx))
+    f = np.fft.fft2(np.sqrt(lam / (mx * my)) * e)
+    sample = f.real[:ny, :nx]  # one of the two independent draws
+    return sample.reshape(-1).astype(dtype)

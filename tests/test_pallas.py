@@ -259,3 +259,23 @@ class TestTriangularInverse:
         g0 = jax.grad(f_ours)(1.3)
         g1 = jax.grad(f_ref)(1.3)
         np.testing.assert_allclose(float(g0), float(g1), rtol=1e-5)
+
+
+def test_cholesky_cascade_lanes_matches_jnp_cascade():
+    """One-relayout cascade == per-attempt jnp cascade (NaN-select semantics),
+    including an indefinite member that needs escalation."""
+    from pymra_tpu.ops.pallas.linalg import cholesky_cascade_lanes
+
+    m = np.array(_spd(jax.random.key(7), 6, 9), dtype=np.float32, copy=True)
+    # member 2: indefinite enough that the base jitter fails
+    m[2] -= 12.0 * np.eye(9, dtype=np.float32)
+    jit = np.full((6,), 1e-2, dtype=np.float32)
+    got = cholesky_cascade_lanes(jnp.asarray(m), jnp.asarray(jit))
+    c = jnp.linalg.cholesky(jnp.asarray(m) + jit[:, None, None] * jnp.eye(9))
+    for f in (1e2, 1e4):
+        bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[:, None, None]
+        retry = jnp.linalg.cholesky(
+            jnp.asarray(m) + (f * jit)[:, None, None] * jnp.eye(9))
+        c = jnp.where(bad, retry, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(c),
+                               rtol=2e-4, atol=2e-5)

@@ -216,3 +216,30 @@ class TestShardedEquivalence:
         np.testing.assert_allclose(
             float(f(kern)), float(model.objective(kern, y, 1e-3)), rtol=1e-6
         )
+
+
+class TestShardedPrep:
+    def test_prep_sharded_equals_serial(self, mesh8):
+        """sharded_sweep with hoisted prepared observations (the padded
+        plan's tensors, leaf-axis sharded) matches the serial sweep."""
+        import jax.numpy as jnp
+
+        from pymra_tpu.parallel.sharded import pad_plan_for_sharding
+        from pymra_tpu.tree.sweep import prepare_obs
+
+        locs = gen_locations_2d(8)
+        kern = kernels.Kernel("matern32", l=0.35, sig=1.2)
+        rng = np.random.default_rng(11)
+        y = rng.standard_normal(len(locs))
+        y[rng.random(len(locs)) > 0.8] = np.nan
+        model = MRAModel(locs, r=4, M=2, J=4)
+        dplan_p = pad_plan_for_sharding(model.dplan, 8)
+        prep = prepare_obs(dplan_p, jnp.asarray(y), 1e-3)
+        shd = sharded_sweep(model.dplan, kern, y, 1e-3, mesh8, prep=prep)
+        ref = model.sweep(kern, y, 1e-3)
+        np.testing.assert_allclose(float(shd.objective),
+                                   float(ref.objective), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(shd.mean),
+                                   np.asarray(ref.mean), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(shd.var),
+                                   np.asarray(ref.var), atol=1e-11)
