@@ -53,7 +53,8 @@ def build(side: int, r: int):
     y = rng.standard_normal(len(locs)).astype(np.float32)
     y[rng.random(len(locs)) > 0.9] = np.nan
     t0 = time.time()
-    model = MRAModel(locs, r=r, dtype=jnp.float32,
+    M = int(os.environ.get("PYMRA_PROF_M", "-1"))
+    model = MRAModel(locs, r=r, M=M, dtype=jnp.float32,
                      config=PlanConfig(r=r, kmeans_impl="native"))
     print(f"# plan: N={len(locs)} M={model.dplan.M} r={r} "
           f"({time.time() - t0:.1f}s)")

@@ -47,7 +47,8 @@ def main():
     rng = np.random.default_rng(0)
     y = rng.standard_normal(len(locs)).astype(np.float32)
     y[rng.random(len(locs)) > 0.9] = np.nan
-    model = MRAModel(locs, r=r, dtype=jnp.float32,
+    M = int(os.environ.get("PYMRA_PROF_M", "-1"))
+    model = MRAModel(locs, r=r, M=M, dtype=jnp.float32,
                      config=PlanConfig(r=r, kmeans_impl="native"))
     yj = jnp.asarray(y)
     prep = (sw.prepare_obs(model.dplan, yj, 1e-2)

@@ -33,8 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["cholesky", "cholesky_blocked", "cholesky_jittered",
-           "cholesky_cascade_lanes", "solve_triangular_batched",
-           "triangular_inverse_lower", "pallas_available"]
+           "cholesky_cascade_lanes", "cholesky_logdet",
+           "solve_triangular_batched", "triangular_inverse_lower",
+           "pallas_available"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -198,6 +199,57 @@ def _tri_solve_kernel(p: int, q: int, transpose: bool, unit_diag: bool):
                 x = jnp.where(rowid == j, xj[None, :, :],
                               jnp.where(rowid > j, x - upd, x))
         x_ref[:] = x
+
+    return kernel
+
+
+def _chol_logdet_kernel(p: int, factors: tuple[float, ...]):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    def kernel(a_ref, j_ref, ld_ref, f_ref):
+        # a_ref: [P, P, Bc]; j_ref/ld_ref/f_ref: [1, Bc]; batch on lanes.
+        # Right-looking factorization tracking ONLY the running
+        # sum(log d_j) of downdated pivots (log det = sum, no sqrt needed:
+        # logdiagsum(L) = 0.5 * sum log d_j). Live state is one [P, P, Bc]
+        # working copy plus a [Bc] accumulator — unlike the full-factor
+        # jittered kernel (whose ~14 live buffers overflow Mosaic's 16M
+        # scoped stack at P=64), this fits at any P the lane layout
+        # supports. Retries run unconditionally via an in-kernel fori
+        # (predication is compile-hostile, BENCHNOTES round 3); they only
+        # cost VPU flops, no extra HBM.
+        dt = a_ref.dtype
+        js = j_ref[0, :]
+        diag = (jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
+                ).astype(dt)
+
+        def attempt(jfac):
+            a = a_ref[:] + diag * (js * jfac)[None, None, :]
+            acc = jnp.zeros(a.shape[-1], dtype=dt)
+            for j in range(p):
+                d = a[j, j, :]  # downdated pivot (squared L_jj)
+                acc = acc + jnp.log(d)  # NaN for d <= 0 propagates
+                if j + 1 < p:
+                    a = a - (a[:, j, :][:, None, :] * a[:, j, :][None, :, :]
+                             ) / d[None, None, :]
+            return 0.5 * acc
+
+        ld = attempt(factors[0])
+        ld_ref[0, :] = ld
+        f_ref[0, :] = jnp.full(js.shape, factors[0], dtype=dt)
+
+        def retry(i, carry):
+            prev = ld_ref[0, :]
+            bad = jnp.isnan(prev)
+            fac = jnp.float32(factors[1]).astype(dt)
+            for j_, f_ in enumerate(factors[2:], start=1):
+                fac = jnp.where(i == j_, jnp.float32(f_).astype(dt), fac)
+            nxt = attempt(fac)
+            ld_ref[0, :] = jnp.where(bad, nxt, prev)
+            f_ref[0, :] = jnp.where(bad, fac, f_ref[0, :])
+            return carry
+
+        jax.lax.fori_loop(0, len(factors) - 1, retry, 0)
 
     return kernel
 
@@ -375,6 +427,103 @@ def _cholesky_jittered_lanes(mat_t: jnp.ndarray, jit_t: jnp.ndarray,
         interpret=interpret,
     )(mat_t, jit_t)
     return l[..., :b], f[0, :b]
+
+
+def _chol_logdet_lanes(mat_t: jnp.ndarray, jit_t: jnp.ndarray,
+                       factors: tuple[float, ...]
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(logdiagsum, selected factor) of the jittered Cholesky cascade on
+    ``[P, P, B]`` without materializing a factor."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = mat_t.shape[0]
+    bc = _batch_chunk(p, buffers=3, batch=mat_t.shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        bc = min(bc, 256)
+    mat_t, b = _pad_batch(mat_t, bc, fill_eye=True)
+    jit_t = jnp.pad(jit_t, (0, mat_t.shape[-1] - b))[None, :]
+    grid = (mat_t.shape[-1] // bc,)
+    ld, f = pl.pallas_call(
+        _chol_logdet_kernel(p, factors),
+        out_shape=(
+            jax.ShapeDtypeStruct(jit_t.shape, mat_t.dtype),
+            jax.ShapeDtypeStruct(jit_t.shape, mat_t.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((p, p, bc), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(mat_t, jit_t)
+    return ld[0, :b], f[0, :b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def cholesky_logdet(mat: jnp.ndarray, jit_diag: jnp.ndarray,
+                    factors: tuple[float, ...] = (1.0, 1e2, 1e4)
+                    ) -> jnp.ndarray:
+    """``logdiagsum(chol(mat + f*jit_diag*I))`` with jitter escalation,
+    WITHOUT materializing the factor.
+
+    The MRA leaf pass factorizes the prior block ``K`` only to read its
+    log-determinant (``tree/sweep.py`` Pass B: ``d_leaf`` needs
+    ``logdiagsum(L_prior)`` and nothing else touches ``L_prior`` on the
+    fast path). A full cascade writes three [n, P, P] factors, selects
+    between them, relayouts the winner back from lane layout, and extracts
+    its diagonal — all dead weight. This kernel tracks only the running
+    log-pivot sum (identity ``logdiagsum(L) = 0.5 sum_j log d_j`` over the
+    downdated pivots, no square roots), so the whole cascade is one
+    pallas_call with a [B]-sized output.
+
+    Differentiable: ``d logdet^0.5.. d K = 0.5 K_sel^{-1}`` at the
+    selected jitter — the VJP refactorizes once at the (saved) selected
+    factor, which only costs when gradients are actually requested.
+    """
+    ld, _ = _chol_logdet_pair(mat, jit_diag, factors)
+    return ld
+
+
+def _chol_logdet_pair(mat, jit_diag, factors):
+    mat_t, batch = _to_lanes(mat)
+    jit_flat = (jnp.broadcast_to(jit_diag, batch).reshape(-1) if batch
+                else jnp.broadcast_to(jit_diag, (1,)))
+    ld_flat, f_flat = _chol_logdet_lanes(
+        mat_t, jit_flat.astype(mat.dtype),
+        tuple(float(f) for f in factors))
+    if batch:
+        return ld_flat.reshape(batch), f_flat.reshape(batch)
+    return ld_flat[0], f_flat[0]
+
+
+def _chol_logdet_fwd(mat, jit_diag, factors):
+    ld, f = _chol_logdet_pair(mat, jit_diag, factors)
+    return ld, (mat, jit_diag, f)
+
+
+def _chol_logdet_bwd(factors, res, gbar):
+    mat, jit_diag, f = res
+    p = mat.shape[-1]
+    eye = jnp.eye(p, dtype=mat.dtype)
+    sel = mat + (f * jit_diag)[..., None, None] * eye
+    li = triangular_inverse_lower(cholesky(sel))
+    kinv = jnp.matmul(jnp.swapaxes(li, -1, -2), li, precision="highest")
+    dmat = 0.5 * gbar[..., None, None] * kinv
+    djit = 0.5 * gbar * f * jnp.trace(kinv, axis1=-2, axis2=-1)
+    return dmat, djit
+
+
+cholesky_logdet.defvjp(_chol_logdet_fwd, _chol_logdet_bwd)
 
 
 def cholesky_cascade_lanes(mat: jnp.ndarray, jit_diag: jnp.ndarray,

@@ -436,6 +436,26 @@ def _logdiag_sum(chol: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.log(d), axis=-1)
 
 
+def _chol_logdiag(mat: jnp.ndarray, jitter) -> jnp.ndarray:
+    """``logdiagsum(chol(mat + jitter))`` WITHOUT materializing the factor.
+
+    TPU f32 fast path: the fused log-pivot cascade kernel
+    (:func:`ops.pallas.linalg.cholesky_logdet`) — the leaf prior block's
+    factor is consumed only by the likelihood's log-determinant, so a full
+    cascade (three factor writes, NaN selects over [n, P, P] tensors, a
+    lane relayout of the winner, a diagonal extraction) is dead weight:
+    ~8 ms of the N=1M M=7 sweep. Jitter scaling matches :func:`_chol`.
+    """
+    from pymra_tpu.ops.pallas.linalg import cholesky_logdet, pallas_available
+
+    if (jitter and pallas_available() and mat.dtype == jnp.float32
+            and mat.shape[-1] <= 80):
+        d = jnp.diagonal(mat, axis1=-2, axis2=-1)
+        scale = jax.lax.stop_gradient(jnp.mean(jnp.abs(d), axis=-1)) + 1.0
+        return cholesky_logdet(mat, jnp.asarray(jitter, mat.dtype) * scale)
+    return _logdiag_sum(_chol(mat, jitter))
+
+
 def _jitter_lift(C_raw, C_own, jitter):
     """Floor conditional variances relative to the prior variance.
 
@@ -817,7 +837,14 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     omg_h = jnp.einsum("npa,np->na", W, wy,
                                        precision="highest")
 
-        L_prior = _chol(K_leaf, jitter)
+        if keep_internals:
+            # the basis-matrix assembly reads the leaf prior factor
+            # (tree/basis.py); the fast path only needs its log-diagonal
+            L_prior = _chol(K_leaf, jitter)
+            ld_prior = _logdiag_sum(L_prior)
+        else:
+            L_prior = None
+            ld_prior = _chol_logdiag(K_leaf, jitter)
         prior_scale = jnp.mean(
             jnp.abs(jnp.diagonal(K_leaf, axis1=-2, axis2=-1)), axis=-1
         )
@@ -851,7 +878,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         n_obs = (lvl_prep["n_obs"] if lvl_prep is not None
                  else jnp.sum(obs, axis=-1).astype(dtype))
         d_leaf = (
-            2.0 * (_logdiag_sum(L_post) - _logdiag_sum(L_prior)) + logdet_R
+            2.0 * (_logdiag_sum(L_post) - ld_prior) + logdet_R
         )
         u_leaf = quad_y - jnp.sum(v * v, axis=-1)
         d_leaf_total = d_leaf_total + jnp.sum(d_leaf)
