@@ -34,8 +34,8 @@ import numpy as np
 
 __all__ = ["cholesky", "cholesky_blocked", "cholesky_jittered",
            "cholesky_cascade_lanes", "cholesky_logdet",
-           "solve_triangular_batched", "triangular_inverse_lower",
-           "pallas_available"]
+           "cholesky_inv_logdet", "solve_triangular_batched",
+           "triangular_inverse_lower", "pallas_available"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -171,6 +171,62 @@ def _chol_jittered_kernel(p: int, factors: tuple[float, ...]):
                 return carry
 
             jax.lax.fori_loop(0, len(factors) - 1, retry, 0)
+
+    return kernel
+
+
+def _chol_inv_logdet_kernel(p: int, factors: tuple[float, ...]):
+    def kernel(a_ref, j_ref, x_ref, ld_ref, f_ref):
+        # a_ref/x_ref: [P, P, Bc]; j_ref/ld_ref/f_ref: [1, Bc]; lanes=batch.
+        # Produces X = chol(A + f*js*I)^{-1} and logdiagsum(chol) WITHOUT
+        # materializing the factor: the forward-substitution inverse is
+        # interleaved with the right-looking factorization (after column j
+        # of L is formed, rows <= j of X are final), so the live state is
+        # one working copy of A plus X — the same ~3-buffer footprint as
+        # the plain kernel, VMEM-safe at P=64 where the full-factor
+        # jittered kernel overflows Mosaic's scoped stack.
+        dt = a_ref.dtype
+        js = j_ref[0, :]
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
+               ).astype(dt)
+
+        def attempt(jfac):
+            a = a_ref[:] + eye * (js * jfac)[None, None, :]
+            x = jnp.broadcast_to(eye, a.shape)
+            acc = jnp.zeros(a.shape[-1], dtype=dt)
+            for j in range(p):
+                piv = jnp.sqrt(a[j, j, :])
+                acc = acc + jnp.log(piv)  # NaN on indefinite pivots
+                col = a[:, j, :] / piv[None, :]  # rows < j are garbage
+                xj = x[j, :, :] / piv[None, :]
+                x = jnp.where(
+                    rowid == j, xj[None, :, :],
+                    jnp.where(rowid > j,
+                              x - col[:, None, :] * xj[None, :, :], x),
+                )
+                if j + 1 < p:
+                    a = a - col[:, None, :] * col[None, :, :]
+            return x, acc
+
+        x, acc = attempt(factors[0])
+        x_ref[:] = x
+        ld_ref[0, :] = acc
+        f_ref[0, :] = jnp.full(js.shape, factors[0], dtype=dt)
+
+        def retry(i, carry):
+            bad = jnp.isnan(ld_ref[0, :])
+            fac = jnp.float32(factors[1]).astype(dt)
+            for j_, f_ in enumerate(factors[2:], start=1):
+                fac = jnp.where(i == j_, jnp.float32(f_).astype(dt), fac)
+            x2, acc2 = attempt(fac)
+            x_ref[:] = jnp.where(bad[None, None, :], x2, x_ref[:])
+            ld_ref[0, :] = jnp.where(bad, acc2, ld_ref[0, :])
+            f_ref[0, :] = jnp.where(bad, fac, f_ref[0, :])
+            return carry
+
+        jax.lax.fori_loop(0, len(factors) - 1, retry, 0)
 
     return kernel
 
@@ -524,6 +580,113 @@ def _chol_logdet_bwd(factors, res, gbar):
 
 
 cholesky_logdet.defvjp(_chol_logdet_fwd, _chol_logdet_bwd)
+
+
+def _chol_inv_logdet_lanes(mat_t, jit_t, factors):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = mat_t.shape[0]
+    bc = _batch_chunk(p, buffers=6, batch=mat_t.shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        bc = min(bc, 256)
+    mat_t, b = _pad_batch(mat_t, bc, fill_eye=True)
+    jit_t = jnp.pad(jit_t, (0, mat_t.shape[-1] - b))[None, :]
+    grid = (mat_t.shape[-1] // bc,)
+    x, ld, f = pl.pallas_call(
+        _chol_inv_logdet_kernel(p, factors),
+        out_shape=(
+            jax.ShapeDtypeStruct(mat_t.shape, mat_t.dtype),
+            jax.ShapeDtypeStruct(jit_t.shape, mat_t.dtype),
+            jax.ShapeDtypeStruct(jit_t.shape, mat_t.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((p, p, bc), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((p, p, bc), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(mat_t, jit_t)
+    return x[..., :b], ld[0, :b], f[0, :b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def cholesky_inv_logdet(mat: jnp.ndarray, jit_diag: jnp.ndarray,
+                        factors: tuple[float, ...] = (1.0, 1e2, 1e4)
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``(chol(mat + f*jit*I)^{-1}, logdiagsum(chol))`` in ONE kernel pass.
+
+    The MRA leaf posterior block needs exactly two things from its
+    factorization: the explicit triangular inverse (every downstream
+    "solve" is an MXU matmul against it — ``tree/sweep._use_inverse_
+    solves``) and the log-determinant for the likelihood. The separate
+    pipeline (3-attempt cascade writing full factors + NaN selects + a
+    relayout + a triangular-inverse kernel pass) moves ~5 extra [n, P, P]
+    tensors through HBM per leaf level. Here the forward-substitution
+    inverse is interleaved with the factorization inside one pallas_call
+    and the factor itself never exists.
+
+    Jitter escalation matches the cascade (NaN members retried at
+    ``factors[1:]``, per member). Differentiable via a custom VJP that
+    reconstructs ``L = X^{-1}`` (one triangular-inverse call) and applies
+    the inverse + Cholesky pullbacks at the saved selected factor.
+    """
+    x, ld, _ = _chol_inv_logdet_tuple(mat, jit_diag, factors)
+    return x, ld
+
+
+def _chol_inv_logdet_tuple(mat, jit_diag, factors):
+    mat_t, batch = _to_lanes(mat)
+    jit_flat = (jnp.broadcast_to(jit_diag, batch).reshape(-1) if batch
+                else jnp.broadcast_to(jit_diag, (1,)))
+    x_t, ld_flat, f_flat = _chol_inv_logdet_lanes(
+        mat_t, jit_flat.astype(mat.dtype),
+        tuple(float(f) for f in factors))
+    x = _from_lanes(x_t, batch)
+    if batch:
+        return x, ld_flat.reshape(batch), f_flat.reshape(batch)
+    return x, ld_flat[0], f_flat[0]
+
+
+def _chol_inv_logdet_fwd(mat, jit_diag, factors):
+    x, ld, f = _chol_inv_logdet_tuple(mat, jit_diag, factors)
+    return (x, ld), (x, f, jit_diag)
+
+
+def _chol_inv_logdet_bwd(factors, res, bars):
+    x, f, jit_diag = res
+    xbar, ldbar = bars
+    # L = X^{-1} (triangular); contributions:
+    #   ld = 0.5 logdet K  ->  Kbar += 0.5 ldbar K^{-1} = 0.5 ldbar X^T X
+    #   X  = L^{-1}        ->  Lbar  = -X^T Xbar X^T, then the standard
+    #                          Cholesky pullback maps Lbar to Kbar
+    xt = jnp.swapaxes(x, -1, -2)
+    kinv = jnp.matmul(xt, x, precision="highest")
+    kbar = 0.5 * ldbar[..., None, None] * kinv
+    lbar = -jnp.matmul(xt, jnp.matmul(xbar, xt, precision="highest"),
+                       precision="highest")
+    l = triangular_inverse_lower(x)
+    w = _phi(jnp.matmul(jnp.swapaxes(l, -1, -2), lbar,
+                        precision="highest"))
+    raw = jnp.matmul(xt, jnp.matmul(w, x, precision="highest"),
+                     precision="highest")
+    kbar = kbar + 0.5 * (raw + jnp.swapaxes(raw, -1, -2))
+    jbar = f * jnp.trace(kbar, axis1=-2, axis2=-1)
+    return kbar, jbar
+
+
+cholesky_inv_logdet.defvjp(_chol_inv_logdet_fwd, _chol_inv_logdet_bwd)
 
 
 def cholesky_cascade_lanes(mat: jnp.ndarray, jit_diag: jnp.ndarray,

@@ -848,27 +848,44 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         prior_scale = jnp.mean(
             jnp.abs(jnp.diagonal(K_leaf, axis1=-2, axis2=-1)), axis=-1
         )
-        L_post = _chol(K_leaf + A_oo, jitter, scale=prior_scale)
-        if _use_inverse_solves(P):
-            # one explicit inverse, every "solve" becomes an MXU matmul in
-            # the native layout (see _use_inverse_solves)
-            from pymra_tpu.ops.pallas.linalg import triangular_inverse_lower
+        from pymra_tpu.ops.pallas.linalg import (
+            cholesky_inv_logdet,
+            pallas_available,
+            triangular_inverse_lower,
+        )
 
-            Li = triangular_inverse_lower(L_post)
+        use_inv = _use_inverse_solves(P)
+        if (use_inv and not keep_internals and jitter
+                and pallas_available() and dtype == jnp.float32 and P <= 80):
+            # fused path: inverse factor + log-determinant from ONE kernel
+            # pass; the factor itself is never materialized (the separate
+            # cascade + triangular-inverse pipeline moved ~5 extra
+            # [n, P, P] tensors through HBM per leaf level)
+            jit_post = jnp.asarray(jitter, dtype) * (
+                jax.lax.stop_gradient(prior_scale) + 1.0
+            )
+            Li, ld_post = cholesky_inv_logdet(K_leaf + A_oo, jit_post)
+            L_post = None
+        else:
+            L_post = _chol(K_leaf + A_oo, jitter, scale=prior_scale)
+            ld_post = _logdiag_sum(L_post)
+            Li = triangular_inverse_lower(L_post) if use_inv else None
+        if Li is not None:
+            # every "solve" becomes an MXU matmul in the native layout
+            # (see _use_inverse_solves)
             LiT = jnp.swapaxes(Li, -1, -2)
 
-            def solve_l(B):
+            def solve_l(B, Li=Li):
                 return jnp.matmul(Li, B, precision="highest")
 
-            def solve_lt(B):
+            def solve_lt(B, LiT=LiT):
                 return jnp.matmul(LiT, B, precision="highest")
         else:
-            Li = None
 
-            def solve_l(B):
+            def solve_l(B, L_post=L_post):
                 return _tri_solve(L_post, B)
 
-            def solve_lt(B):
+            def solve_lt(B, L_post=L_post):
                 return _tri_solve(L_post, B, trans=True)
 
         v = solve_l(omg_o[..., None])[..., 0]  # [n, P]
@@ -877,9 +894,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         # the data quadratic form — MRANode.py:452-459)
         n_obs = (lvl_prep["n_obs"] if lvl_prep is not None
                  else jnp.sum(obs, axis=-1).astype(dtype))
-        d_leaf = (
-            2.0 * (_logdiag_sum(L_post) - ld_prior) + logdet_R
-        )
+        d_leaf = 2.0 * (ld_post - ld_prior) + logdet_R
         u_leaf = quad_y - jnp.sum(v * v, axis=-1)
         d_leaf_total = d_leaf_total + jnp.sum(d_leaf)
         u_leaf_total = u_leaf_total + jnp.sum(u_leaf)

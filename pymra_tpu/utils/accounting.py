@@ -140,11 +140,14 @@ def sweep_cost(dplan, compute_posterior: bool = True) -> SweepCost:
             b += F32 * (n * (P * P + P * S) + n_head * S * S)  # A writes
         else:
             b += F32 * n * P * P
-        # factorizations + solves
-        cf = 2 * _chol_flops(n, P)  # L_prior, L_post
-        f += cf
+        # factorizations + solves: the prior factor never leaves VMEM
+        # (cholesky_logdet) and the posterior factorization emits only its
+        # inverse (cholesky_inv_logdet), so HBM sees one [n, P, P] factor
+        # tensor (Li), not two factors plus an inverse
+        cf = 2 * _chol_flops(n, P)  # L_prior (logdet-only), L_post+inverse
+        f += cf + n * P**3  # in-kernel forward-substitution inverse
         f += n * P * P  # v
-        b += F32 * n * P * P * 2 * 2  # two factors write+read
+        b += F32 * n * P * P * 2  # Li write+read
         if S:
             f += n * P * P * S  # Xblk solve
             f += 2 * n * P * S * S  # ATil downdate

@@ -320,3 +320,53 @@ class TestCholeskyLogdet:
         g0 = jax.grad(f_ours)(jnp.float32(1.4))
         g1 = jax.grad(f_ref)(jnp.float32(1.4))
         np.testing.assert_allclose(float(g0), float(g1), rtol=1e-3)
+
+
+class TestCholeskyInvLogdet:
+    """Fused inverse-factor + log-determinant kernel (cholesky_inv_logdet)."""
+
+    def test_matches_explicit_pipeline(self):
+        from pymra_tpu.ops.pallas.linalg import cholesky_inv_logdet
+
+        m = np.array(_spd(jax.random.key(20), 5, 11), dtype=np.float32,
+                     copy=True)
+        m[1] -= 14.0 * np.eye(11, dtype=np.float32)  # escalation member
+        jit = np.full((5,), 1e-2, dtype=np.float32)
+        x, ld = cholesky_inv_logdet(jnp.asarray(m), jnp.asarray(jit))
+        c = jnp.linalg.cholesky(
+            jnp.asarray(m) + jit[:, None, None] * jnp.eye(11))
+        for f in (1e2, 1e4):
+            bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[:, None, None]
+            retry = jnp.linalg.cholesky(
+                jnp.asarray(m) + (f * jit)[:, None, None] * jnp.eye(11))
+            c = jnp.where(bad, retry, c)
+        want_ld = jnp.sum(jnp.log(jnp.diagonal(c, axis1=-2, axis2=-1)), -1)
+        want_x = solve_triangular(
+            c, jnp.broadcast_to(jnp.eye(11, dtype=c.dtype), c.shape),
+            lower=True)
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(want_ld),
+                                   rtol=3e-5)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(want_x),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_vjp_matches_autodiff(self):
+        from pymra_tpu.ops.pallas.linalg import cholesky_inv_logdet
+
+        m = _spd(jax.random.key(21), 2, 5).astype(jnp.float32)
+        jit = jnp.full((2,), 1e-4, dtype=jnp.float32)
+
+        def f_ours(s):
+            x, ld = cholesky_inv_logdet(m * s, jit)
+            return jnp.sum(jnp.sin(x)) + 2.0 * jnp.sum(ld)
+
+        def f_ref(s):
+            c = jnp.linalg.cholesky(m * s + jit[:, None, None] * jnp.eye(5))
+            x = solve_triangular(
+                c, jnp.broadcast_to(jnp.eye(5, dtype=c.dtype), c.shape),
+                lower=True)
+            ld = jnp.sum(jnp.log(jnp.diagonal(c, axis1=-2, axis2=-1)))
+            return jnp.sum(jnp.sin(x)) + 2.0 * ld
+
+        g0 = jax.grad(f_ours)(jnp.float32(1.3))
+        g1 = jax.grad(f_ref)(jnp.float32(1.3))
+        np.testing.assert_allclose(float(g0), float(g1), rtol=1e-3)
