@@ -188,16 +188,111 @@ def _bench_nuts(chains=8, warmup=25, samples=25):
     res = run(init, jax.random.key(1))
     jax.block_until_ready(res.samples)
     dt = time.time() - t0
-    # warmup transitions cost the same as sampling transitions; report
-    # retained samples over their share of the wall clock
+    # two throughputs, both recorded (VERDICT r3 weak #7): the rescaled one
+    # assumes warmup transitions cost the same as sampling transitions and
+    # charges retained samples only their share of the wall clock; the
+    # honest one divides retained samples by the FULL wall clock including
+    # warmup
     sps = chains * samples / (dt * samples / (warmup + samples))
+    sps_incl = chains * samples / dt
     return {
         "samples_per_sec": sps,
+        "samples_per_sec_incl_warmup": sps_incl,
         "compile_s": compile_s,
         "run_s": dt,
         "accept": float(res.accept_rate.mean()),
         "divergent": int(res.num_divergent.sum()),
     }
+
+
+def _bench_advi(steps=150, num_mc=4):
+    """ADVI optimization steps/s on the N=10^4 likelihood (chained: the
+    whole fit is one jitted program; second call is pure run time)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pymra_tpu.data.loader import load_data
+    from pymra_tpu.infer import advi
+    from pymra_tpu.kernels import Kernel
+    from pymra_tpu.tree.model import MRAModel
+    from pymra_tpu.tree.plan import PlanConfig
+
+    locs, y_obs = load_data("large")
+    model = MRAModel(locs, r=4, dtype=jnp.float32,
+                     config=PlanConfig(r=4, kmeans_impl="native"))
+    f = model.loglik_fn(
+        y_obs, 1e-4,
+        kernel_builder=lambda th: Kernel("exponential",
+                                         l=jnp.exp(th["log_l"])),
+    )
+
+    def logp(th):
+        return f(th) - 0.5 * (th["log_l"] - jnp.log(2.0)) ** 2
+
+    init = {"log_l": jnp.asarray(0.5, dtype=model.dtype)}
+    run = jax.jit(lambda k: advi(logp, init, k, steps=steps,
+                                 num_mc=num_mc).elbo_history)
+    t0 = time.time()
+    jax.block_until_ready(run(jax.random.key(0)))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    hist = run(jax.random.key(1))
+    jax.block_until_ready(hist)
+    dt = time.time() - t0
+    return {"steps_per_sec": steps / dt, "compile_s": compile_s,
+            "run_s": dt, "final_elbo": float(hist[-1])}
+
+
+def _bench_smc(n_particles=64, n_mutations=3, max_stages=20):
+    """SMC tempering stages/s on the N=10^4 likelihood (single-dispatch
+    on-device stage loop; second call is pure run time)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pymra_tpu.data.loader import load_data
+    from pymra_tpu.infer import smc
+    from pymra_tpu.kernels import Kernel
+    from pymra_tpu.tree.model import MRAModel
+    from pymra_tpu.tree.plan import PlanConfig
+
+    locs, y_obs = load_data("large")
+    model = MRAModel(locs, r=4, dtype=jnp.float32,
+                     config=PlanConfig(r=4, kmeans_impl="native"))
+    f = model.loglik_fn(
+        y_obs, 1e-4,
+        kernel_builder=lambda th: Kernel("exponential",
+                                         l=jnp.exp(th["log_l"])),
+    )
+
+    def log_like(th):
+        return f(th)
+
+    def log_prior(th):
+        return -0.5 * (th["log_l"] - jnp.log(2.0)) ** 2
+
+    def prior_sample(k):
+        return {"log_l": jnp.log(2.0)
+                + jax.random.normal(k, (), dtype=model.dtype)}
+
+    def run(key):
+        return smc(log_like, log_prior, prior_sample, key,
+                   n_particles=n_particles, n_mutations=n_mutations,
+                   max_stages=max_stages)
+
+    t0 = time.time()
+    res = run(jax.random.key(0))
+    jax.block_until_ready(res.log_evidence)
+    compile_s = time.time() - t0
+    n_stages = int(res.betas.shape[0])
+    # same key for the timed run: the stage count is data-dependent, so a
+    # different key could realize a different ladder than n_stages
+    t0 = time.time()
+    res = run(jax.random.key(0))
+    jax.block_until_ready(res.log_evidence)
+    dt = time.time() - t0
+    return {"stages_per_sec": max(n_stages, 1) / dt, "compile_s": compile_s,
+            "run_s": dt, "n_stages": n_stages,
+            "log_evidence": float(res.log_evidence)}
 
 
 def main():
@@ -207,6 +302,27 @@ def main():
 
     enable_persistent_cache()
 
+    extra_gate = {}
+    if os.environ.get("PYMRA_BENCH_SKIP_GATE", "0") != "1":
+        # stage 0: cold Mosaic compile gate on the flagship-critical Pallas
+        # shapes (cache force-disabled inside run_gate) — interpret-mode
+        # tests cannot see scoped-VMEM limits, which is how round 3's
+        # P=64 OOM reached HEAD with a green suite (VERDICT r3 weak #5).
+        # Full shape enumeration: python benchmarks/pallas_compile_gate.py
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "benchmarks"))
+            from pallas_compile_gate import _CRITICAL, run_gate
+
+            g = run_gate(verbose=True, only=_CRITICAL)
+            extra_gate["gate_ok"] = g["ok"]
+            if not g["ok"]:
+                extra_gate["gate_failures"] = [
+                    f["case"] for f in g["failures"]]
+                print(f"# GATE FAILED: {g['failures']}", file=sys.stderr)
+        except Exception as e:
+            extra_gate["gate_error"] = repr(e)[:200]
+
     s10k = _bench_n10k()
     eps = s10k["evals_per_sec"]
 
@@ -215,18 +331,39 @@ def main():
         "n10k_per_eval_ms": round(1000 * s10k["per_eval_s"], 3),
         "n10k_compile_s": round(s10k["compile_s"], 1),
     }
+    extra.update(extra_gate)
     _util_extras("n10k", s10k["dplan"], s10k["per_eval_s"], extra)
 
     if os.environ.get("PYMRA_BENCH_SKIP_NUTS", "0") != "1":
         try:
             sn = _bench_nuts()
             extra["nuts_samples_per_sec"] = round(sn["samples_per_sec"], 2)
+            extra["nuts_samples_per_sec_incl_warmup"] = round(
+                sn["samples_per_sec_incl_warmup"], 2)
+            extra["nuts_compile_s"] = round(sn["compile_s"], 1)
             extra["nuts_accept"] = round(sn["accept"], 3)
         except Exception as e:
             extra["nuts_error"] = repr(e)[:200]
             sn = None
     else:
         sn = None
+
+    if os.environ.get("PYMRA_BENCH_SKIP_VI", "0") != "1":
+        try:
+            sa = _bench_advi()
+            extra["advi_steps_per_sec"] = round(sa["steps_per_sec"], 1)
+        except Exception as e:
+            extra["advi_error"] = repr(e)[:200]
+            sa = None
+        try:
+            ss = _bench_smc()
+            extra["smc_stages_per_sec"] = round(ss["stages_per_sec"], 2)
+            extra["smc_n_stages"] = ss["n_stages"]
+        except Exception as e:
+            extra["smc_error"] = repr(e)[:200]
+            ss = None
+    else:
+        sa = ss = None
 
     if os.environ.get("PYMRA_BENCH_SKIP_1M", "0") != "1":
         try:
@@ -282,8 +419,20 @@ def main():
     if sn is not None:
         print(
             f"# nuts: compile {sn['compile_s']:.1f}s, run {sn['run_s']:.1f}s,"
-            f" {sn['samples_per_sec']:.1f} samples/s, accept {sn['accept']:.2f},"
-            f" divergent {sn['divergent']}",
+            f" {sn['samples_per_sec']:.1f} samples/s"
+            f" ({sn['samples_per_sec_incl_warmup']:.1f} incl. warmup),"
+            f" accept {sn['accept']:.2f}, divergent {sn['divergent']}",
+            file=sys.stderr,
+        )
+    if sa is not None:
+        print(
+            f"# advi: compile {sa['compile_s']:.1f}s, run {sa['run_s']:.1f}s,"
+            f" {sa['steps_per_sec']:.1f} steps/s", file=sys.stderr,
+        )
+    if ss is not None:
+        print(
+            f"# smc: compile {ss['compile_s']:.1f}s, run {ss['run_s']:.1f}s,"
+            f" {ss['n_stages']} stages, {ss['stages_per_sec']:.2f} stages/s",
             file=sys.stderr,
         )
     if s1m is not None:

@@ -128,8 +128,20 @@ def _kernel_cases():
     yield "cholesky_blocked[P=144]", case_blocked
 
 
-def run_gate(verbose: bool = True) -> dict:
-    """Compile every case cold; returns {'ok': bool, 'failures': [...]}."""
+_CRITICAL = (
+    # the shapes the flagship + headline configs actually hit, incl. the
+    # exact (kernel, P) pair that broke round 3
+    "cholesky_inv_logdet[P=64]", "cholesky_logdet[P=64]",
+    "cholesky_cascade_lanes[P=64]", "cholesky_jittered[P=48]",
+    "cholesky_inv_logdet[P=28]", "triangular_inverse_lower[P=64]",
+)
+
+
+def run_gate(verbose: bool = True, only: tuple | None = None) -> dict:
+    """Compile every case cold; returns {'ok': bool, 'failures': [...]}.
+
+    ``only``: restrict to the named cases (``only=_CRITICAL`` is bench.py's
+    stage-0 subset — full enumeration stays for the standalone run)."""
     os.environ.setdefault("PYMRA_NO_CACHE", "1")
     import jax
 
@@ -145,6 +157,8 @@ def run_gate(verbose: bool = True) -> dict:
     t0 = time.time()
     try:
         for name, thunk in _kernel_cases():
+            if only is not None and name not in only:
+                continue
             n += 1
             t1 = time.time()
             try:

@@ -19,11 +19,13 @@ one read per consumer (XLA fuses elementwise chains, so masking/weighting
 steps are *not* counted as extra traffic). Cholesky costs ``n*p^3/3``; the
 jitter-escalation cascade can execute every factorization up to
 ``CHOL_CASCADE`` (=3) times — ``flops_executed`` counts that worst case,
-``flops`` (the MFU numerator) counts the useful work once. Since round 3
-the retries are ``lax.cond``-gated on serial (unsharded) sweeps, so the
-clean-case executed work equals ``flops``; the worst case still applies
-under ``shard_map`` (the gate is off inside a mesh) and under ``vmap``
-(cond lowers to select).
+``flops`` (the MFU numerator) counts the useful work once. The shipped
+default runs the cascade UNCONDITIONALLY (both ``lax.cond`` gating and the
+``pl.when``-predicated fused kernel correlate with order-of-magnitude TPU
+compile blowups inside chained fori_loop programs — tree/sweep.py ``_chol``
+and BENCHNOTES.md round 3), so ``flops_executed`` is the *actual* executed
+work on the default path; only the opt-in ``PYMRA_CHOL=fused`` kernel
+skips clean-case retries (in-kernel ``pl.when``).
 """
 from __future__ import annotations
 
@@ -56,7 +58,17 @@ def _chol_flops(n, p):
 
 
 def sweep_cost(dplan, compute_posterior: bool = True) -> SweepCost:
-    """Exact-shape cost model of one ``mra_sweep`` evaluation."""
+    """Exact-shape cost model of one ``mra_sweep`` evaluation.
+
+    The leaf-pass estimate assumes the FUSED factorization kernels are
+    engaged (``cholesky_logdet`` / ``cholesky_inv_logdet``: one ``Li``
+    tensor in HBM, in-kernel inverse, no materialized prior factor), which
+    requires the TPU Pallas f32 path with ``jitter != 0``, leaf width
+    P <= 64, and ``keep_internals=False`` — exactly the benchmark/flagship
+    configuration. Fallback configurations (f64 oracle, ``jitter=0``,
+    ``keep_internals=True``, P > 64) materialize extra [n, P, P] factors,
+    so their HBM traffic is somewhat undercounted here (ADVICE r3).
+    """
     r = dplan.r
     M = dplan.M
     N = dplan.n_locs

@@ -57,7 +57,7 @@ def make_observations(key, x, me_scale, frac_obs: float = 1.0):
     return y_obs, mask
 
 
-def simulate_grf_grid(seed, nx, ny=0, covfn=None, lbx=0.0, ubx=1.0,
+def simulate_grf_grid(seed, nx, covfn, ny=0, lbx=0.0, ubx=1.0,
                       lby=0.0, uby=1.0, dtype="float32"):
     """Exact stationary-GRF sample on a regular 2-D grid in O(N log N).
 
@@ -100,16 +100,21 @@ def simulate_grf_grid(seed, nx, ny=0, covfn=None, lbx=0.0, ubx=1.0,
     ix = np.minimum(np.arange(mx), mx - np.arange(mx)) * dx
     iy = np.minimum(np.arange(my), my - np.arange(my)) * dy
     d = np.sqrt(ix[None, :] ** 2 + iy[:, None] ** 2)  # [my, mx]
-    try:  # Kernel-style callable of two point sets
-        import numpy as _np
-
-        probe = covfn(_np.zeros((1, 2)), _np.zeros((1, 2)))
+    # Kernel-style callable of two point sets vs plain ``d -> cov(d)``:
+    # only an arity mismatch (TypeError) on the probe call falls back to
+    # the distance form — any other failure inside a Kernel must surface,
+    # not be silently re-tried with a distance matrix (wrong base row).
+    try:
+        covfn(np.zeros((1, 2)), np.zeros((1, 2)))
+        two_point_sets = True
+    except TypeError:
+        two_point_sets = False
+    if two_point_sets:
         base = np.asarray(
             covfn(np.stack([d.ravel(), np.zeros(d.size)], -1),
                   np.zeros((1, 2)))
         ).reshape(d.shape)
-        del probe
-    except Exception:  # plain d -> cov(d) callable
+    else:
         base = np.asarray(covfn(d))
     lam = np.fft.fft2(base).real
     neg = lam < 0

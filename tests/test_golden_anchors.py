@@ -40,6 +40,16 @@ BUNDLED_SMALL_OBJECTIVE = 980.7643506591266
 #: MRA f64 objective itself (VERDICT r1 item 4's 1M ground-truth anchor)
 N1M_OBJECTIVE = 26_690_586.78
 
+#: N=250k (500x500 grid, r=8, derived M=7) f64 objective + posterior spot
+#: values, frozen 2026-08-21. UNGATED (~12 s CPU): exercises deep-M
+#: numerics — multiple leaf levels, grouped parent aggregation, the full
+#: posterior chain replay — on every suite run; the 1M anchor above stays
+#: opt-in (minutes), which in round 3 meant large-tree paths were
+#: effectively never exercised by default (VERDICT r3 weak #5/#7).
+N250K_OBJECTIVE = 4050775.381367266
+N250K_MEAN_1234 = -0.38884887880702634
+N250K_VAR_1234 = 0.008278675138152435
+
 
 def _readme_1d_data():
     """The reference README's exact simulation recipe (README.md:55-95):
@@ -74,6 +84,31 @@ class TestGoldenAnchors:
         res = model.sweep(kernels.Kernel("exponential", l=2.0), y_obs, 1e-4)
         np.testing.assert_allclose(
             float(res.objective), BUNDLED_SMALL_OBJECTIVE, rtol=1e-10
+        )
+
+    def test_250k_objective_and_posterior(self):
+        import jax.numpy as jnp
+
+        from pymra_tpu.tree.plan import PlanConfig
+        from pymra_tpu.utils.locations import gen_locations_2d
+
+        locs = gen_locations_2d(500)
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal(len(locs))
+        y[rng.random(len(locs)) > 0.9] = np.nan
+        model = MRAModel(locs, r=8, dtype=jnp.float64,
+                         config=PlanConfig(r=8, kmeans_impl="native"))
+        assert model.dplan.M == 7  # anchor assumes the deep derived tree
+        res = model.sweep(kernels.Kernel("exponential", l=0.05), y, 1e-2,
+                          compute_posterior=True)
+        np.testing.assert_allclose(
+            float(res.objective), N250K_OBJECTIVE, rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(res.mean[1234]), N250K_MEAN_1234, rtol=1e-7
+        )
+        np.testing.assert_allclose(
+            float(res.var[1234]), N250K_VAR_1234, rtol=1e-7
         )
 
     @pytest.mark.skipif(

@@ -170,22 +170,32 @@ class TestShardedEquivalence:
                 per_shard_ok = True
         assert per_shard_ok
 
-        # (b) trace-time probe: record the `group` argument of every
-        # _chain_cond call made while the sharded sweep traces
+        # (b) trace-time probe: record the `group` / `shard` arguments of
+        # every _chain_cond call made while the sharded sweep traces
         seen_groups = []
+        seen_shards = []
         orig = sw._chain_cond
 
         def probe(covfn, X, parent, chain_Q, chain_GG, jitter,
-                  want_W=False, group=0, iota=False):
+                  want_W=False, group=0, iota=False, shard=None):
             seen_groups.append(group)
+            seen_shards.append(shard)
             return orig(covfn, X, parent, chain_Q, chain_GG, jitter,
-                        want_W=want_W, group=group, iota=iota)
+                        want_W=want_W, group=group, iota=iota, shard=shard)
 
         monkeypatch.setattr(sw, "_chain_cond", probe)
         shd = sharded_sweep(model.dplan, kern, y, 1e-3, mesh8)
         assert any(g > 0 for g in seen_groups), (
             "sharded sweep never took the grouped fast path"
         )
+        # (b') the shard-contiguous dynamic-slice path is taken (r3 weak
+        # #4: grouped levels under a mesh used to fall back to gathered
+        # parent reads + scatter-add reassembly)
+        assert any(s is not None for s in seen_shards), (
+            "sharded sweep never took the shard-contiguous stash path"
+        )
+        assert padded.shard_groups == 8
+        assert padded.post_inv is not None and padded.post_inv.ndim == 2
         # (c) still numerically identical to the serial sweep
         monkeypatch.setattr(sw, "_chain_cond", orig)
         ref = model.sweep(kern, y, 1e-3)
