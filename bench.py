@@ -95,8 +95,13 @@ def _bench_n10k():
                         jitter=jitter, prep=prep)
         return res.objective, res.mean, res.var
 
-    thetas = jnp.asarray(np.linspace(1.5, 2.5, 33), dtype=model.dtype)
-    stats = chained_throughput(evaluate, thetas, dplan, y, prep, n_evals=32)
+    # 128 chained evals: at ~0.6 ms/eval the subtraction of the separately
+    # measured single-eval dispatch overhead (itself 25-40 ms of wall-clock
+    # noise on this remote platform) swung the 32-eval per_eval_s by up to
+    # +-0.2 ms run to run — a longer chain amortizes it to < 0.05 ms
+    thetas = jnp.asarray(np.linspace(1.5, 2.5, 130), dtype=model.dtype)
+    stats = chained_throughput(evaluate, thetas, dplan, y, prep,
+                               n_evals=128)
     stats["plan_s"] = plan_s
     stats["dplan"] = dplan
     return stats

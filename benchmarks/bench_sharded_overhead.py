@@ -22,8 +22,11 @@ so the gap should now be small. Run:
 """
 from __future__ import annotations
 
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main(side: int = 100):
@@ -50,7 +53,7 @@ def main(side: int = 100):
     y = rng.standard_normal(len(locs)).astype(np.float32)
     y[rng.random(len(locs)) > 0.9] = np.nan
     r = 8 if side >= 500 else 4
-    M = tpu_shaped_M(len(locs), r) if side >= 500 else None
+    M = tpu_shaped_M(len(locs), r) if side >= 500 else -1
     me = 1e-2 if side >= 500 else 1e-4
     model = MRAModel(locs, r=r, M=M, dtype=jnp.float32,
                      config=PlanConfig(r=r, kmeans_impl="native"))

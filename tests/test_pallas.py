@@ -370,3 +370,91 @@ class TestCholeskyInvLogdet:
         g0 = jax.grad(f_ours)(jnp.float32(1.3))
         g1 = jax.grad(f_ref)(jnp.float32(1.3))
         np.testing.assert_allclose(float(g0), float(g1), rtol=1e-3)
+
+
+class TestLeafFactor:
+    """Whole-leaf-stage fused kernel (leaf_factor): in-kernel K_leaf
+    assembly + prior logdet + posterior inverse factor + logdet."""
+
+    def _case(self, key, b=9, p=12, jitter=1e-2, indefinite=None):
+        c = np.array(_spd(key, b, p, dtype=jnp.float64), copy=True)
+        if indefinite is not None:
+            c[indefinite] -= (p / 2 + 4.0) * np.eye(p)
+        rng = np.random.default_rng(3)
+        kmask = (rng.random((b, p)) < 0.7).astype(np.float64)
+        kmask[1] = 0.0  # fully masked (dummy-leaf) member: K_leaf = I
+        a2 = rng.standard_normal((b, p, p))
+        a_oo = a2 @ np.swapaxes(a2, -1, -2) * 0.1
+        # contract: a_oo vanishes outside the knot rows/cols (the sweep's
+        # B_own-based Gram guarantees this by construction)
+        a_oo = a_oo * kmask[:, :, None] * kmask[:, None, :]
+        return c, kmask, a_oo, jitter
+
+    def _oracle(self, c, kmask, a_oo, jitter):
+        b, p = kmask.shape
+        lds_p, lds_q, lis = [], [], []
+        for i in range(b):
+            kl = (c[i] * np.outer(kmask[i], kmask[i])
+                  + np.eye(p) * (1 - kmask[i]))
+            s = np.abs(np.diag(kl)).mean() + 1.0
+            for f in (1.0, 1e2, 1e4):
+                try:
+                    Lp = np.linalg.cholesky(kl + f * jitter * s * np.eye(p))
+                    break
+                except np.linalg.LinAlgError:
+                    continue
+            for f in (1.0, 1e2, 1e4):
+                try:
+                    Lq = np.linalg.cholesky(
+                        kl + f * jitter * s * np.eye(p) + a_oo[i])
+                    break
+                except np.linalg.LinAlgError:
+                    continue
+            lds_p.append(np.log(np.diag(Lp)).sum())
+            lds_q.append(np.log(np.diag(Lq)).sum())
+            lis.append(np.linalg.inv(Lq))
+        return np.stack(lis), np.asarray(lds_p), np.asarray(lds_q)
+
+    def test_matches_composed_pipeline(self):
+        from pymra_tpu.ops.pallas.linalg import leaf_factor
+
+        c, kmask, a_oo, jitter = self._case(jax.random.key(30),
+                                            indefinite=4)
+        li, ldp, ldq = leaf_factor(jnp.asarray(c), jnp.asarray(kmask),
+                                   jnp.asarray(a_oo), jitter)
+        want_li, want_ldp, want_ldq = self._oracle(c, kmask, a_oo, jitter)
+        np.testing.assert_allclose(np.asarray(ldp), want_ldp, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(ldq), want_ldq, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(li), want_li, atol=1e-9)
+
+    def test_vjp_finite_difference(self):
+        from pymra_tpu.ops.pallas.linalg import leaf_factor
+
+        c, kmask, a_oo, jitter = self._case(jax.random.key(31), b=3, p=7,
+                                            jitter=1e-6)
+        km = jnp.asarray(kmask)
+
+        def f(cj, aj):
+            li, ldp, ldq = leaf_factor(cj, km, aj, jitter)
+            return ldp.sum() + 2.0 * ldq.sum() + jnp.sum(li * 0.01)
+
+        g_c, g_a = jax.grad(f, argnums=(0, 1))(jnp.asarray(c),
+                                               jnp.asarray(a_oo))
+        eps = 1e-5
+        for (i, j, k) in [(0, 2, 3), (1, 0, 0), (2, 5, 5)]:
+            d = np.zeros_like(c)
+            d[i, j, k] += eps / 2
+            d[i, k, j] += eps / 2
+            fd = (f(jnp.asarray(c + d), jnp.asarray(a_oo))
+                  - f(jnp.asarray(c - d), jnp.asarray(a_oo))) / (2 * eps)
+            an = (float(g_c[i, j, k]) + float(g_c[i, k, j])) / 2
+            np.testing.assert_allclose(float(fd), an, rtol=1e-5,
+                                       atol=1e-8)
+            d2 = np.zeros_like(a_oo)
+            d2[i, j, k] += eps / 2
+            d2[i, k, j] += eps / 2
+            fd2 = (f(jnp.asarray(c), jnp.asarray(a_oo + d2))
+                   - f(jnp.asarray(c), jnp.asarray(a_oo - d2))) / (2 * eps)
+            an2 = (float(g_a[i, j, k]) + float(g_a[i, k, j])) / 2
+            np.testing.assert_allclose(float(fd2), an2, rtol=1e-5,
+                                       atol=1e-8)
