@@ -1,4 +1,4 @@
-from pymra_tpu.utils import checkpoint, profiling
+from pymra_tpu.utils import checkpoint, health, profiling
 from pymra_tpu.utils.locations import gen_clusters, gen_locations, gen_locations_2d
 from pymra_tpu.utils.logging import configure as configure_logging
 from pymra_tpu.utils.logging import get_logger
@@ -8,6 +8,7 @@ from pymra_tpu.utils.simulate import make_observations, simulate_grf
 
 __all__ = [
     "checkpoint",
+    "health",
     "profiling",
     "PhaseTimer",
     "configure_logging",

@@ -123,3 +123,104 @@ class TestChainSharding:
             np.asarray(res_sharded.samples["x"]),
             atol=1e-10,
         )
+
+
+class TestFailureRecovery:
+    """Failure detection + elastic-recovery recipe (utils/health.py).
+
+    The reference's failure handling is pdb.set_trace() in library code
+    and a fork parallelism that hangs on dead children (SURVEY §5);
+    these tests inject the actual failure modes and assert structured
+    detection + a working checkpoint/resume continuation."""
+
+    def test_healthy_sweep_reports_ok(self):
+        import jax.numpy as jnp
+
+        from pymra_tpu import kernels
+        from pymra_tpu.tree.model import MRAModel
+        from pymra_tpu.utils import gen_locations_2d
+        from pymra_tpu.utils.health import check_result
+
+        locs = gen_locations_2d(8)
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal(len(locs))
+        model = MRAModel(locs, r=4, M=1, J=4)
+        res = model.sweep(kernels.Kernel("exponential", l=0.3), y, 1e-3)
+        rep = check_result(res)
+        assert rep.ok, str(rep)
+
+    def test_injected_nan_theta_detected(self):
+        """Fault injection: a NaN hyper-parameter poisons the whole sweep;
+        check_result must localize it instead of letting NaNs flow on."""
+        import jax.numpy as jnp
+
+        from pymra_tpu import kernels
+        from pymra_tpu.tree.model import MRAModel
+        from pymra_tpu.utils import gen_locations_2d
+        from pymra_tpu.utils.health import SweepHealthError, check_result
+
+        locs = gen_locations_2d(8)
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal(len(locs))
+        model = MRAModel(locs, r=4, M=1, J=4)
+        res = model.sweep(
+            kernels.Kernel("exponential", l=jnp.float64(np.nan)), y, 1e-3
+        )
+        rep = check_result(res)
+        assert not rep.ok and "objective" in rep.nonfinite
+        import pytest
+        with pytest.raises(SweepHealthError):
+            check_result(res, raise_on_failure=True)
+
+    def test_duplicate_points_recovered_by_escalation(self):
+        """Near-duplicate locations make conditional blocks numerically
+        indefinite — the jitter-escalation path must keep the sweep
+        finite (the reference's eigh-abs repair analog)."""
+        from pymra_tpu import kernels
+        from pymra_tpu.tree.model import MRAModel
+        from pymra_tpu.utils import gen_locations_2d
+        from pymra_tpu.utils.health import check_result
+
+        locs = np.asarray(gen_locations_2d(8), dtype=np.float64)
+        locs[1] = locs[0] + 1e-13  # exact-duplicate pair
+        locs[17] = locs[16] + 1e-13
+        rng = np.random.default_rng(1)
+        y = rng.standard_normal(len(locs))
+        model = MRAModel(locs, r=4, M=1, J=4, jitter=1e-8)
+        res = model.sweep(kernels.Kernel("gaussian", l=0.4), y, 1e-3)
+        rep = check_result(res, var_tol=1e-5)
+        assert rep.ok, str(rep)
+
+    def test_sampler_checkpoint_resume(self, tmp_path):
+        """Elastic-recovery recipe: checkpoint retained draws mid-run,
+        'lose the host', reload and continue from resume_state — the
+        continuation must be a working chain (finite, moving)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pymra_tpu.infer import hmc
+        from pymra_tpu.utils.checkpoint import load_pytree, save_pytree
+        from pymra_tpu.utils.health import check_samples, resume_state
+
+        def logp(th):
+            return -0.5 * jnp.sum(th["x"] ** 2)
+
+        init = {"x": jnp.zeros((2, 3))}
+        res1 = hmc(logp, init, jax.random.key(0), num_warmup=50,
+                   num_samples=30)
+        assert check_samples(res1.samples).ok
+        path = str(tmp_path / "draws.npz")
+        save_pytree(path, res1.samples)
+
+        # "failure"; reload and continue
+        restored = load_pytree(path, like=res1.samples)
+        init2 = resume_state(restored)
+        assert jax.tree.leaves(init2)[0].shape == (2, 3)
+        res2 = hmc(logp, init2, jax.random.key(1), num_warmup=20,
+                   num_samples=30)
+        rep = check_samples(res2.samples)
+        assert rep.ok, str(rep)
+        # the continuation actually moved from the restart point
+        d0 = np.asarray(res2.samples["x"])[:, -1] - np.asarray(
+            init2["x"])
+        assert np.any(np.abs(d0) > 1e-6)
