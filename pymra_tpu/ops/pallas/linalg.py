@@ -48,12 +48,17 @@ def pallas_available() -> bool:
     """True when the Pallas TPU lowering path is usable on this backend.
 
     Set ``PYMRA_DISABLE_PALLAS=1`` to force the jnp/XLA fallback (debugging
-    and A/B numerical comparison).
+    and A/B numerical comparison). Set ``PYMRA_PALLAS=force`` to take the
+    Pallas dispatch paths on a non-TPU backend — the kernels then run in
+    interpret mode, which lets the CPU test suite exercise the TPU-only
+    sweep branches (e.g. the fused leaf stage) end to end.
     """
     import os
 
     if os.environ.get("PYMRA_DISABLE_PALLAS"):
         return False
+    if os.environ.get("PYMRA_PALLAS") == "force":
+        return True
     try:
         import jax.experimental.pallas  # noqa: F401
 

@@ -397,3 +397,69 @@ class TestPreparedObs:
         np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
         g = jax.grad(f)(jnp.asarray(0.2))
         assert np.isfinite(float(g))
+
+
+class TestFusedLeafPathInterpret:
+    """Drive the TPU-only fused leaf stage (sweep Pass B -> leaf_factor)
+    on CPU via PYMRA_PALLAS=force (kernels run in Pallas interpret mode).
+
+    The fused branch's knot-masking contract (A_oo must vanish outside
+    knot rows/cols so K_leaf + A_oo == (C_own + A_oo) o pair + diag(1-k))
+    is otherwise only exercised by real-TPU benchmark runs."""
+
+    def _sweep(self, monkeypatch, fused: str):
+        import jax.numpy as jnp
+
+        from pymra_tpu.ops.pallas import linalg as L
+        from pymra_tpu.tree.model import MRAModel
+        from pymra_tpu.utils import gen_locations_2d
+
+        monkeypatch.setenv("PYMRA_PALLAS", "force")
+        monkeypatch.setenv("PYMRA_LEAF_FUSED", fused)
+        L.pallas_available.cache_clear()
+        try:
+            locs = gen_locations_2d(16)  # 256 locs, leaves of 64 (P >= 16)
+            rng = np.random.default_rng(5)
+            y = rng.standard_normal(len(locs)).astype(np.float32)
+            y[rng.random(len(locs)) > 0.85] = np.nan
+            model = MRAModel(locs, r=4, M=1, J=4, dtype=jnp.float32)
+            assert model.jitter > 0  # fused gate requires jitter
+            res = model.sweep(
+                kernels.Kernel("exponential", l=0.3), y, 1e-2)
+        finally:
+            L.pallas_available.cache_clear()
+        return res
+
+    def test_fused_equals_two_kernel_path(self, monkeypatch):
+        r_fused = self._sweep(monkeypatch, "1")
+        r_plain = self._sweep(monkeypatch, "0")
+        np.testing.assert_allclose(float(r_fused.objective),
+                                   float(r_plain.objective), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(r_fused.mean),
+                                   np.asarray(r_plain.mean), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(r_fused.var),
+                                   np.asarray(r_plain.var), atol=2e-4)
+
+    def test_fused_matches_f64_oracle(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from pymra_tpu.tree.model import MRAModel
+        from pymra_tpu.utils import gen_locations_2d
+
+        r_fused = self._sweep(monkeypatch, "1")
+        # plain f64 jnp path (no Pallas anywhere) as the oracle
+        locs = gen_locations_2d(16)
+        rng = np.random.default_rng(5)
+        y = rng.standard_normal(len(locs)).astype(np.float32)
+        y[rng.random(len(locs)) > 0.85] = np.nan
+        model = MRAModel(locs, r=4, M=1, J=4, dtype=jnp.float64,
+                         jitter=1e-6)
+        ref = model.sweep(kernels.Kernel("exponential", l=0.3),
+                          y.astype(np.float64), 1e-2)
+        np.testing.assert_allclose(float(r_fused.objective),
+                                   float(ref.objective), rtol=5e-4)
+        # f32 sweep vs f64 oracle: posterior means at poorly-constrained
+        # (missing, extrapolated) locations carry f32 round-off amplified
+        # by the conditional chain — a sanity anchor, not a precision claim
+        np.testing.assert_allclose(np.asarray(r_fused.mean),
+                                   np.asarray(ref.mean), atol=2e-2)
