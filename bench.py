@@ -385,7 +385,10 @@ def main():
                 os.path.abspath(__file__)), "benchmarks"))
             from scaling_model import project
 
-            proj = project(s1m["dplan"], 1000 * s1m["per_eval_s"])
+            # 5.2 ms = measured 1-device-mesh sharded-program overhead at
+            # this shape (benchmarks/bench_sharded_overhead.py, r4)
+            proj = project(s1m["dplan"], 1000 * s1m["per_eval_s"],
+                           sharded_overhead_ms=5.2)
             extra["n1M_scaling_eff_8chip"] = proj["projection"][3][
                 "scaling_efficiency"]
             extra["n1M_scaling_eff_32chip"] = proj["projection"][5][

@@ -47,8 +47,17 @@ def allreduce_s(bytes_, n, gbps):
 
 
 def project(dplan, measured_ms: float, chips=(1, 2, 4, 8, 16, 32),
-            chips_per_host: int = 4, compute_posterior: bool = True):
-    """Projected per-eval time and scaling efficiency at each chip count."""
+            chips_per_host: int = 4, compute_posterior: bool = True,
+            sharded_overhead_ms: float = 0.0):
+    """Projected per-eval time and scaling efficiency at each chip count.
+
+    ``sharded_overhead_ms``: MEASURED fixed cost of the per-device sharded
+    program relative to the serial sweep (``benchmarks/
+    bench_sharded_overhead.py`` on a 1-device mesh — shard_map
+    bookkeeping, the fill-gather reassembly, degenerate-collective
+    dispatch; 5.2 ms at the N=10^6 flagship, r4). Charged whenever
+    n > 1 — calibrating the projection against the code path that would
+    actually run, not just the communication model."""
     from pymra_tpu.utils.accounting import sweep_cost
 
     cost = sweep_cost(dplan, compute_posterior=compute_posterior)
@@ -69,7 +78,8 @@ def project(dplan, measured_ms: float, chips=(1, 2, 4, 8, 16, 32),
                 n_hosts = n // chips_per_host
                 comm += allreduce_s(b, chips_per_host, ICI_GBPS)
                 comm += allreduce_s(b, n_hosts, DCN_GBPS)
-        tn = t_leaf / n + t_int + comm
+        tn = t_leaf / n + t_int + comm + (
+            sharded_overhead_ms / 1e3 if n > 1 else 0.0)
         eff = t1 / (n * tn)
         rows.append({
             "chips": n,
@@ -91,7 +101,9 @@ def project(dplan, measured_ms: float, chips=(1, 2, 4, 8, 16, 32),
             "ici_gbps": ICI_GBPS, "dcn_gbps": DCN_GBPS,
             "chips_per_host": chips_per_host,
             "measured_single_chip_ms": measured_ms,
-            "model": "T(n) = t_leaf/n + t_interior + ring-allreduce(psums)",
+            "sharded_overhead_ms": sharded_overhead_ms,
+            "model": ("T(n) = t_leaf/n + t_interior + sharded_overhead"
+                      " + ring-allreduce(psums)"),
         },
         "projection": rows,
     }
