@@ -94,13 +94,16 @@ def main(side: int = 100):
     print(f"overhead: {100 * (ratio - 1):.1f}% "
           f"({1000 * (sh['per_eval_s'] - s['per_eval_s']):.3f} ms)")
 
-    # numerical equivalence while we're here
+    # numerical equivalence smoke check (rigorous f64 serial==sharded
+    # equivalence lives in tests/test_sharded.py; f32 at N=10^6 carries
+    # reduction-order noise of ~1e-4 between the psum+fill-gather and
+    # direct-gather reassembly paths)
     r1 = eval_serial(thetas[0], dplan, yj, prep)
     r2 = eval_sharded(thetas[0], dplan_p, yj, prep_p)
     np.testing.assert_allclose(float(r1[0]), float(r2[0]), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
-                               atol=1e-4)
-    print("serial == sharded1 (objective rtol 1e-5, mean atol 1e-4)")
+                               atol=1e-3)
+    print("serial == sharded1 (objective rtol 1e-5, mean atol 1e-3)")
     return {"serial_ms": 1000 * s["per_eval_s"],
             "sharded1_ms": 1000 * sh["per_eval_s"],
             "overhead_pct": 100 * (ratio - 1)}

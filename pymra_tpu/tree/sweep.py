@@ -1315,24 +1315,20 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             # concatenation — tell XLA the indices are unique and in
             # bounds (skips clamping). Sharded: indices for non-owned
             # locations are an out-of-range sentinel — fill with 0 and
-            # let the psum assemble. mean and var ride one gather as the
-            # real/imag halves of a complex64 vector — TPU element
-            # gathers cost per *index* (a few cycles each), so packing 8
-            # bytes per index halves the most expensive single op of the
-            # N=1M posterior (2 x 7.5 ms measured for the separate f32
-            # gathers).
+            # let the psum assemble. Two plain f32 gathers, measured
+            # 2 x ~7.5 ms at N=1M: TPU gathers charge per ELEMENT, so
+            # packing cannot help — a slice-2 gather over an interleaved
+            # array measures identical (15.9 vs 16.1 ms), and the r3
+            # complex64 packing trick was at best decomposed by XLA into
+            # these same two gathers and measured 987 ms standalone
+            # (microbenchmarked r4, BENCHNOTES). The only real saving is
+            # not needing the posterior at all (compute_posterior=False
+            # skips this entirely — the MLE/HMC inner loop).
             idx = pinv if pinv.ndim == 1 else pinv.reshape(-1)
             gkw = (dict(unique_indices=True, mode="promise_in_bounds")
                    if pinv.ndim == 1 else dict(mode="fill", fill_value=0))
-            if dtype == jnp.float32:
-                mv = jax.lax.complex(jnp.concatenate(mean_parts),
-                                     jnp.concatenate(var_parts))
-                mv = mv.at[idx].get(**gkw)
-                mean_out = jnp.real(mv)
-                var_out = jnp.imag(mv)
-            else:
-                mean_out = jnp.concatenate(mean_parts).at[idx].get(**gkw)
-                var_out = jnp.concatenate(var_parts).at[idx].get(**gkw)
+            mean_out = jnp.concatenate(mean_parts).at[idx].get(**gkw)
+            var_out = jnp.concatenate(var_parts).at[idx].get(**gkw)
         if axis_name is not None:
             mean_out = jax.lax.psum(mean_out, axis_name)
             var_out = jax.lax.psum(var_out, axis_name)
