@@ -148,10 +148,22 @@ def _bench_n1m(r=8, M=None):
                         compute_posterior=True, jitter=jitter, prep=prep)
         return res.objective, res.mean, res.var
 
-    thetas = jnp.asarray(np.linspace(0.04, 0.06, 9), dtype=model.dtype)
+    thetas = jnp.asarray(np.linspace(0.04, 0.06, 18), dtype=model.dtype)
     stats = chained_throughput(evaluate, thetas, dplan, yj, prep, n_evals=8)
     stats["plan_s"] = plan_s
     stats["dplan"] = dplan
+
+    # likelihood-only evaluation — the MLE/HMC inner-loop program: skips
+    # the posterior passes and the two output-permutation gathers
+    # (together ~1/3 of the full eval, BENCHNOTES r4 utilization analysis)
+    def evaluate_lik(l, dplan, yj, prep):
+        res = mra_sweep(dplan, Kernel("exponential", l=l), yj, 1e-2,
+                        compute_posterior=False, jitter=jitter, prep=prep)
+        return (res.objective,)
+
+    lik_stats = chained_throughput(evaluate_lik, thetas, dplan, yj, prep,
+                                   n_evals=16)
+    stats["lik_only_per_eval_s"] = lik_stats["per_eval_s"]
     return stats
 
 
@@ -379,6 +391,8 @@ def main():
                 s1m["evals_per_sec"] / BASELINE_1M_EVALS_PER_SEC, 1
             )
             extra["n1M_compile_s"] = round(s1m["compile_s"], 1)
+            extra["n1M_lik_only_per_eval_ms"] = round(
+                1000 * s1m["lik_only_per_eval_s"], 1)
             _util_extras("n1M", s1m["dplan"], s1m["per_eval_s"], extra)
             # static multi-chip scaling projection for the flagship config
             sys.path.insert(0, os.path.join(os.path.dirname(
