@@ -36,7 +36,6 @@ __all__ = [
     "kernels",
     "MRAModel",
     "MRATree",
-    "MRAModel",
     "build_plan",
     "TreePlan",
     "PlanConfig",
