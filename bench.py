@@ -43,6 +43,8 @@ import time
 
 import numpy as np
 
+from pymra_tpu.utils.config import flag as _flag
+
 BASELINE_EVALS_PER_SEC = 1.0 / 115.0  # reference serial at N=10^4, BASELINE.md
 # reference O(N) extrapolation to N=10^6: 115 s * 100 per eval
 BASELINE_1M_EVALS_PER_SEC = 1.0 / 11500.0
@@ -320,7 +322,7 @@ def main():
     enable_persistent_cache()
 
     extra_gate = {}
-    if os.environ.get("PYMRA_BENCH_SKIP_GATE", "0") != "1":
+    if _flag("PYMRA_BENCH_SKIP_GATE") != "1":
         # stage 0: cold Mosaic compile gate on the flagship-critical Pallas
         # shapes (cache force-disabled inside run_gate) — interpret-mode
         # tests cannot see scoped-VMEM limits, which is how round 3's
@@ -351,7 +353,7 @@ def main():
     extra.update(extra_gate)
     _util_extras("n10k", s10k["dplan"], s10k["per_eval_s"], extra)
 
-    if os.environ.get("PYMRA_BENCH_SKIP_NUTS", "0") != "1":
+    if _flag("PYMRA_BENCH_SKIP_NUTS") != "1":
         try:
             sn = _bench_nuts()
             extra["nuts_samples_per_sec"] = round(sn["samples_per_sec"], 2)
@@ -365,7 +367,7 @@ def main():
     else:
         sn = None
 
-    if os.environ.get("PYMRA_BENCH_SKIP_VI", "0") != "1":
+    if _flag("PYMRA_BENCH_SKIP_VI") != "1":
         try:
             sa = _bench_advi()
             extra["advi_steps_per_sec"] = round(sa["steps_per_sec"], 1)
@@ -382,7 +384,7 @@ def main():
     else:
         sa = ss = None
 
-    if os.environ.get("PYMRA_BENCH_SKIP_1M", "0") != "1":
+    if _flag("PYMRA_BENCH_SKIP_1M") != "1":
         try:
             s1m = _bench_n1m()
             extra["n1M_evals_per_sec"] = round(s1m["evals_per_sec"], 3)
@@ -411,7 +413,7 @@ def main():
             extra["n1M_M"] = s1m["dplan"].M
             # reference-derived tree shape (leaves ~r points), for
             # comparability with rounds 1-2 and the reference semantics
-            if os.environ.get("PYMRA_BENCH_SKIP_REFSHAPE", "0") != "1":
+            if _flag("PYMRA_BENCH_SKIP_REFSHAPE") != "1":
                 s1m_ref = _bench_n1m(M=-1)
                 extra["n1M_refshape_per_eval_ms"] = round(
                     1000 * s1m_ref["per_eval_s"], 1)

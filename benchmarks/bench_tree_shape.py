@@ -40,6 +40,8 @@ from pymra_tpu.tree.sweep import mra_sweep, prepare_obs
 from pymra_tpu.utils.locations import gen_locations_2d
 from pymra_tpu.utils.profiling import chained_throughput
 
+from pymra_tpu.utils.config import flag as _flag
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -47,9 +49,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def main():
-    side = int(os.environ.get("PYMRA_SHAPE_SIDE", "1000"))
-    r = int(os.environ.get("PYMRA_SHAPE_R", "8"))
-    Ms = [int(x) for x in os.environ.get("PYMRA_SHAPE_MS", "8,7,6").split(",")]
+    side = int(_flag("PYMRA_SHAPE_SIDE"))
+    r = int(_flag("PYMRA_SHAPE_R"))
+    Ms = [int(x) for x in _flag("PYMRA_SHAPE_MS").split(",")]
     locs = gen_locations_2d(side)
     rng = np.random.default_rng(0)
     # an actual exponential GRF (circulant embedding, exact at any N) plus

@@ -41,6 +41,8 @@ from pymra_tpu.tree.plan import PlanConfig
 from pymra_tpu.utils.locations import gen_locations_2d
 from pymra_tpu.utils.profiling import chained_throughput
 
+from pymra_tpu.utils.config import flag as _flag
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -53,7 +55,7 @@ def build(side: int, r: int):
     y = rng.standard_normal(len(locs)).astype(np.float32)
     y[rng.random(len(locs)) > 0.9] = np.nan
     t0 = time.time()
-    M = int(os.environ.get("PYMRA_PROF_M", "-1"))
+    M = int(_flag("PYMRA_PROF_M"))
     model = MRAModel(locs, r=r, M=M, dtype=jnp.float32,
                      config=PlanConfig(r=r, kmeans_impl="native"))
     print(f"# plan: N={len(locs)} M={model.dplan.M} r={r} "
@@ -191,15 +193,15 @@ def make_stages(dplan, jitter):
 
 
 def main():
-    side = int(os.environ.get("PYMRA_PROF_SIDE", "1000"))
-    r = int(os.environ.get("PYMRA_PROF_R", "8"))
-    n_evals = int(os.environ.get("PYMRA_PROF_EVALS", "8"))
+    side = int(_flag("PYMRA_PROF_SIDE"))
+    r = int(_flag("PYMRA_PROF_R"))
+    n_evals = int(_flag("PYMRA_PROF_EVALS"))
     print(f"# devices: {jax.devices()}")
     model, y = build(side, r)
     thetas = jnp.asarray(np.linspace(0.04, 0.06, max(n_evals + 1, 9)),
                          dtype=jnp.float32)
     stages = make_stages(model.dplan, model.jitter)
-    sel = os.environ.get("PYMRA_PROF_STAGES")
+    sel = _flag("PYMRA_PROF_STAGES")
     if sel:
         want = set(sel.split(","))
         stages = [(n, f) for n, f in stages if n in want]

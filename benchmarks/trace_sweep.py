@@ -32,6 +32,8 @@ from pymra_tpu.tree.model import MRAModel
 from pymra_tpu.tree.plan import PlanConfig
 from pymra_tpu.utils.locations import gen_locations_2d
 
+from pymra_tpu.utils.config import flag as _flag
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -39,20 +41,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def main():
-    side = int(os.environ.get("PYMRA_PROF_SIDE", "1000"))
-    r = int(os.environ.get("PYMRA_PROF_R", "8"))
-    reps = int(os.environ.get("PYMRA_PROF_REPS", "4"))
-    posterior = os.environ.get("PYMRA_PROF_POSTERIOR", "1") == "1"
+    side = int(_flag("PYMRA_PROF_SIDE"))
+    r = int(_flag("PYMRA_PROF_R"))
+    reps = int(_flag("PYMRA_PROF_REPS"))
+    posterior = _flag("PYMRA_PROF_POSTERIOR") == "1"
     locs = gen_locations_2d(side)
     rng = np.random.default_rng(0)
     y = rng.standard_normal(len(locs)).astype(np.float32)
     y[rng.random(len(locs)) > 0.9] = np.nan
-    M = int(os.environ.get("PYMRA_PROF_M", "-1"))
+    M = int(_flag("PYMRA_PROF_M"))
     model = MRAModel(locs, r=r, M=M, dtype=jnp.float32,
                      config=PlanConfig(r=r, kmeans_impl="native"))
     yj = jnp.asarray(y)
     prep = (sw.prepare_obs(model.dplan, yj, 1e-2)
-            if os.environ.get("PYMRA_PROF_PREP", "1") == "1" else None)
+            if _flag("PYMRA_PROF_PREP") == "1" else None)
 
     @jax.jit
     def run(l, yy):

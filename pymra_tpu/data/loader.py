@@ -26,7 +26,9 @@ def data_dir(size: str, source: str = "bundled") -> str:
     if source == "bundled":
         return os.path.join(os.path.dirname(os.path.abspath(__file__)), size)
     if source == "reference":
-        root = os.environ.get("PYMRA_REFERENCE_PATH", "/root/reference")
+        from pymra_tpu.utils.config import flag
+
+        root = flag("PYMRA_REFERENCE_PATH")
         path = os.path.join(root, "pyMRA", "data", size)
         if not os.path.isdir(path):
             raise FileNotFoundError(

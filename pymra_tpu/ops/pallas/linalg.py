@@ -53,11 +53,11 @@ def pallas_available() -> bool:
     interpret mode, which lets the CPU test suite exercise the TPU-only
     sweep branches (e.g. the fused leaf stage) end to end.
     """
-    import os
+    from pymra_tpu.utils.config import flag, flag_bool
 
-    if os.environ.get("PYMRA_DISABLE_PALLAS"):
+    if flag_bool("PYMRA_DISABLE_PALLAS"):
         return False
-    if os.environ.get("PYMRA_PALLAS") == "force":
+    if flag("PYMRA_PALLAS") == "force":
         return True
     try:
         import jax.experimental.pallas  # noqa: F401
@@ -145,7 +145,7 @@ def _chol_jittered_kernel(p: int, factors: tuple[float, ...]):
             rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
             diag = _mk_eye(p, dt)
-            bad = jnp.isnan(ld_ref[0, :])
+            bad = ~jnp.isfinite(ld_ref[0, :])
             fac = jnp.where(bad, _fac_of(i, factors, dt), f_ref[0, :])
             a = a_ref[:] + diag * (j_ref[0, :] * fac)[None, None, :]
             l = jnp.zeros_like(a)
@@ -161,7 +161,7 @@ def _chol_jittered_kernel(p: int, factors: tuple[float, ...]):
             l_ref[:] = l
             ld_ref[0, :] = acc
             f_ref[0, :] = fac
-            return i + 1, jnp.any(jnp.isnan(acc))
+            return i + 1, ~jnp.all(jnp.isfinite(acc))
 
         def cond(state):
             i, bad = state
@@ -207,7 +207,7 @@ def _chol_inv_logdet_kernel(p: int, factors: tuple[float, ...]):
             i, _ = state
             rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
             eye = _mk_eye(p, dt)
-            bad = jnp.isnan(ld_ref[0, :])  # first pass: all lanes
+            bad = ~jnp.isfinite(ld_ref[0, :])  # first pass: all lanes
             fac = jnp.where(bad, _fac_of(i, factors, dt), f_ref[0, :])
             f_ref[0, :] = fac
             a = a_ref[:] + eye * (j_ref[0, :] * fac)[None, None, :]
@@ -228,7 +228,7 @@ def _chol_inv_logdet_kernel(p: int, factors: tuple[float, ...]):
                     a = a - col[:, None, :] * col[None, :, :]
             x_ref[:] = x
             ld_ref[0, :] = acc
-            return i + 1, jnp.any(jnp.isnan(acc))
+            return i + 1, ~jnp.all(jnp.isfinite(acc))
 
         def cond(state):
             i, bad = state
@@ -282,7 +282,7 @@ def _kleaf_logdet_kernel(p: int, factors: tuple[float, ...]):
             km = k_ref[:]
             kl = (c_ref[:] * (km[:, None, :] * km[None, :, :])
                   + eye * (1.0 - km)[:, None, :])
-            bad = jnp.isnan(ldp_ref[0, :])
+            bad = ~jnp.isfinite(ldp_ref[0, :])
             fac = jnp.where(bad, _fac_of(i, factors, dt), fp_ref[0, :])
             a = kl + eye * (j_ref[0, :] * fac)[None, None, :]
             acc = jnp.zeros(a.shape[-1], dtype=dt)
@@ -295,7 +295,7 @@ def _kleaf_logdet_kernel(p: int, factors: tuple[float, ...]):
             acc = 0.5 * acc
             ldp_ref[0, :] = acc
             fp_ref[0, :] = fac
-            return i + 1, jnp.any(jnp.isnan(acc))
+            return i + 1, ~jnp.all(jnp.isfinite(acc))
 
         def esc_cond(state):
             i, bad = state
@@ -327,7 +327,7 @@ def _kleaf_inv_logdet_kernel(p: int, factors: tuple[float, ...]):
             eye = _mk_eye(p, dt)
             km = k_ref[:]
             rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-            bad = jnp.isnan(ldq_ref[0, :])
+            bad = ~jnp.isfinite(ldq_ref[0, :])
             fac = jnp.where(bad, _fac_of(i, factors, dt), fq_ref[0, :])
             a = (m_ref[:] * (km[:, None, :] * km[None, :, :])
                  + eye * (1.0 - km)[:, None, :]
@@ -350,7 +350,7 @@ def _kleaf_inv_logdet_kernel(p: int, factors: tuple[float, ...]):
             x_ref[:] = x
             ldq_ref[0, :] = acc
             fq_ref[0, :] = fac
-            return i + 1, jnp.any(jnp.isnan(acc))
+            return i + 1, ~jnp.all(jnp.isfinite(acc))
 
         def esc_cond(state):
             i, bad = state
@@ -412,20 +412,20 @@ def _chol_logdet_kernel(p: int, factors: tuple[float, ...]):
         def body(state):
             i, _ = state
             diag = _mk_eye(p, dt)
-            bad = jnp.isnan(ld_ref[0, :])
+            bad = ~jnp.isfinite(ld_ref[0, :])
             fac = jnp.where(bad, _fac_of(i, factors, dt), f_ref[0, :])
             a = a_ref[:] + diag * (js * fac)[None, None, :]
             acc = jnp.zeros(a.shape[-1], dtype=dt)
             for j in range(p):
                 d = a[j, j, :]  # downdated pivot (squared L_jj)
-                acc = acc + jnp.log(d)  # NaN for d <= 0 propagates
+                acc = acc + jnp.log(d)  # NaN (d < 0) / -inf (d == 0) propagate
                 if j + 1 < p:
                     a = a - (a[:, j, :][:, None, :] * a[:, j, :][None, :, :]
                              ) / d[None, None, :]
             acc = 0.5 * acc
             ld_ref[0, :] = acc
             f_ref[0, :] = fac
-            return i + 1, jnp.any(jnp.isnan(acc))
+            return i + 1, ~jnp.all(jnp.isfinite(acc))
 
         def cond(state):
             i, bad = state
@@ -997,7 +997,7 @@ def cholesky_cascade_lanes(mat: jnp.ndarray, jit_diag: jnp.ndarray,
     eye_t = jnp.eye(p, dtype=mat_t.dtype)[..., None]
     c_t = _cholesky_lanes(mat_t + eye_t * (factors[0] * jit_flat)[None, None])
     for f in factors[1:]:
-        bad = jnp.any(jnp.isnan(c_t), axis=(0, 1))[None, None, :]
+        bad = ~jnp.all(jnp.isfinite(c_t), axis=(0, 1))[None, None, :]
         retry = _cholesky_lanes(mat_t + eye_t * (f * jit_flat)[None, None])
         c_t = jnp.where(bad, retry, c_t)
     return _from_lanes(c_t, batch)

@@ -206,6 +206,8 @@ def sharded_sweep(
             prep=pp,
         )
 
+    from pymra_tpu.ops.pallas.linalg import pallas_available
+
     fn = shard_map(
         body,
         mesh=mesh,
@@ -216,9 +218,13 @@ def sharded_sweep(
         # without varying-mesh-axes annotations, which the vma checker
         # rejects inside shard_map on the TPU backend (CPU/f64 test runs
         # never reach the Pallas path, so only real-TPU sharded execution
-        # sees this); the replication contract is enforced by the
-        # sharded==serial equivalence tests instead
-        check_vma=False,
+        # sees this). Disable the checker ONLY where the Pallas path is
+        # live (ADVICE r4): the XLA-fallback path — including the whole
+        # CPU test suite — keeps trace-time replication checking, and the
+        # TPU contract is enforced by the sharded==serial equivalence
+        # tests. Re-enable unconditionally once pallas_call supports vma
+        # annotations.
+        check_vma=not pallas_available(),
     )
     return fn(dplan_p, covfn, y, r_diag, prep)
 

@@ -294,14 +294,13 @@ def _tri_solve(L: jnp.ndarray, B: jnp.ndarray, trans: bool = False
     block in VMEM; the XLA path remains for CPU (f64 oracle tests) and for
     factors wider than the single-block VMEM limit.
     """
-    import os
-
     from pymra_tpu.ops.pallas.linalg import (
         pallas_available,
         solve_triangular_batched,
     )
+    from pymra_tpu.utils.config import flag
 
-    mode = os.environ.get("PYMRA_TRI_SOLVE", "auto")
+    mode = flag("PYMRA_TRI_SOLVE")
     # width caps are gate-measured (benchmarks/pallas_compile_gate.py):
     # the solve kernel's factor + rhs + solution blocks overflow Mosaic's
     # scoped VMEM at (P=64, Q=64) and (P=80, Q=80) but fit at (64, 32),
@@ -335,11 +334,10 @@ def _use_inverse_solves(p: int) -> bool:
     stress test (tests/test_sweep_exactness.py::TestDeepTreeFloat32) bounds
     the error. ``PYMRA_LEAF_SOLVE=tri|inv`` overrides for A/B.
     """
-    import os
-
     from pymra_tpu.ops.pallas.linalg import pallas_available
+    from pymra_tpu.utils.config import flag
 
-    mode = os.environ.get("PYMRA_LEAF_SOLVE", "auto")
+    mode = flag("PYMRA_LEAF_SOLVE")
     if mode == "inv":
         return True
     if mode == "tri":
@@ -374,7 +372,7 @@ def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
     is neither. ``PYMRA_CHOL=cascade`` forces the unconditional 3x cascade
     for A/B. CPU/f64 and P > 64 use the cascade.
     """
-    import os
+    from pymra_tpu.utils.config import flag
 
     if not jitter:
         return _chol_impl(mat)
@@ -383,7 +381,7 @@ def _chol(mat: jnp.ndarray, jitter, scale=None) -> jnp.ndarray:
         scale = jnp.mean(jnp.abs(d), axis=-1)
     scale = jax.lax.stop_gradient(scale)[..., None, None] + 1.0
     jit_scale = jnp.asarray(jitter, mat.dtype) * scale
-    if os.environ.get("PYMRA_CHOL", "fused") == "fused":
+    if flag("PYMRA_CHOL") == "fused":
         from pymra_tpu.ops.pallas.linalg import (
             cholesky_jittered,
             pallas_available,
@@ -430,7 +428,7 @@ def _chol_cascade(mat: jnp.ndarray, jit_scale: jnp.ndarray) -> jnp.ndarray:
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
     c = _chol_impl(mat + jit_scale * eye)
     for factor in (1e2, 1e4):
-        bad = jnp.any(jnp.isnan(c), axis=(-2, -1))[..., None, None]
+        bad = ~jnp.all(jnp.isfinite(c), axis=(-2, -1))[..., None, None]
         retry = _chol_impl(mat + (factor * jit_scale) * eye)
         c = jnp.where(bad, retry, c)
     return c
@@ -707,6 +705,8 @@ def mra_sweep(
 
 def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     keep_internals, axis_name, r_dense=None, prep=None):
+    from pymra_tpu.utils.config import flag
+
     levels = dplan.levels
     M = dplan.M
     N = dplan.n_locs
@@ -902,8 +902,6 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     omg_h = jnp.einsum("npa,np->na", W, wy,
                                        precision="highest")
 
-        import os as _os
-
         from pymra_tpu.ops.pallas.linalg import (
             cholesky_inv_logdet,
             leaf_factor,
@@ -916,7 +914,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     and pallas_available() and dtype == jnp.float32
                     and P <= 64)
         if (fused_ok and r_dense is None
-                and _os.environ.get("PYMRA_LEAF_FUSED", "1") == "1"):
+                and flag("PYMRA_LEAF_FUSED") == "1"):
             # whole-stage fusion: ONE kernel pass consumes (C_own, kmask,
             # A_oo) and produces the prior log-determinant AND the
             # posterior inverse factor + log-determinant. K_leaf, the

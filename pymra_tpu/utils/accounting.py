@@ -17,15 +17,16 @@ distance + an exp — exact value is kernel-family-dependent and small
 either way); HBM bytes count each materialized tensor as one write plus
 one read per consumer (XLA fuses elementwise chains, so masking/weighting
 steps are *not* counted as extra traffic). Cholesky costs ``n*p^3/3``; the
-jitter-escalation cascade can execute every factorization up to
-``CHOL_CASCADE`` (=3) times — ``flops_executed`` counts that worst case,
-``flops`` (the MFU numerator) counts the useful work once. The shipped
-default runs the cascade UNCONDITIONALLY (both ``lax.cond`` gating and the
-``pl.when``-predicated fused kernel correlate with order-of-magnitude TPU
-compile blowups inside chained fori_loop programs — tree/sweep.py ``_chol``
-and BENCHNOTES.md round 3), so ``flops_executed`` is the *actual* executed
-work on the default path; only the opt-in ``PYMRA_CHOL=fused`` kernel
-skips clean-case retries (in-kernel ``pl.when``).
+jitter-escalation can execute every factorization up to ``CHOL_CASCADE``
+(=3) times — ``flops_executed`` counts that worst case, ``flops`` (the MFU
+numerator) counts the useful work once. The shipped TPU default
+(``PYMRA_CHOL=fused``, tree/sweep.py ``_chol``) is the scalar-carry-while
+early-exit kernel: the clean case factorizes ONCE, so on the default path
+``flops_executed`` is an escalation *worst-case bound*, not actual
+executed work; ``PYMRA_CHOL=cascade`` opts back into the unconditional 3x
+cascade (the compile-safe structure of rounds 2-3 — ``lax.cond`` gating
+and ``pl.when`` predication remain on the forbidden list for chained
+fori_loop programs, BENCHNOTES.md rounds 3-4).
 """
 from __future__ import annotations
 

@@ -22,8 +22,10 @@ _ENABLED = False
 
 def default_cache_dir() -> str:
     """``$PYMRA_CACHE_DIR``, else a per-user cache directory."""
-    env = os.environ.get("PYMRA_CACHE_DIR")
-    if env:
+    from pymra_tpu.utils.config import FLAGS, flag
+
+    env = flag("PYMRA_CACHE_DIR")
+    if env != FLAGS["PYMRA_CACHE_DIR"].default:
         return env
     base = os.environ.get("XDG_CACHE_HOME",
                           os.path.join(os.path.expanduser("~"), ".cache"))
@@ -38,8 +40,10 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     initialization; entries of every size/compile-time are cached (the MRA
     program is worth caching even when XLA compiles it quickly).
     """
+    from pymra_tpu.utils.config import flag_bool
+
     global _ENABLED
-    if os.environ.get("PYMRA_NO_CACHE"):
+    if flag_bool("PYMRA_NO_CACHE"):
         return None
     if _ENABLED:
         return path or default_cache_dir()

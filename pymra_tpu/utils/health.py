@@ -57,6 +57,10 @@ class HealthReport(NamedTuple):
     negative_var: int
     #: most negative variance observed (0.0 if none)
     min_var: float
+    #: sampler divergence rate (divergent transitions / retained draws);
+    #: 0.0 when not applicable — a dedicated field so the integer counts
+    #: in ``nonfinite`` stay homogeneous (ADVICE r4)
+    divergence_rate: float = 0.0
 
     def __str__(self):
         if self.ok:
@@ -68,6 +72,8 @@ class HealthReport(NamedTuple):
             parts.append(
                 f"{self.negative_var} negative posterior variances "
                 f"(min {self.min_var:.3e})")
+        if self.divergence_rate:
+            parts.append(f"divergence rate {self.divergence_rate:.3f}")
         return "; ".join(parts)
 
 
@@ -122,17 +128,16 @@ def check_samples(samples, divergences=None, max_divergence_rate=0.05,
             nonfinite[jax.tree_util.keystr(path)] = bad
             total_bad += bad
     div_ok = True
+    div_rate = 0.0
     if divergences is not None:
         n_draws = max(
             int(np.prod(np.asarray(jax.tree_util.tree_leaves(samples)[0]
                                    ).shape[:2])), 1)
-        div_ok = float(np.sum(np.asarray(divergences))) / n_draws \
-            <= max_divergence_rate
-        if not div_ok:
-            nonfinite["divergence_rate"] = float(
-                np.sum(np.asarray(divergences))) / n_draws
+        div_rate = float(np.sum(np.asarray(divergences))) / n_draws
+        div_ok = div_rate <= max_divergence_rate
     report = HealthReport(ok=not total_bad and div_ok,
-                          nonfinite=nonfinite, negative_var=0, min_var=0.0)
+                          nonfinite=nonfinite, negative_var=0, min_var=0.0,
+                          divergence_rate=div_rate)
     if raise_on_failure and not report.ok:
         raise SweepHealthError(report)
     return report

@@ -9,7 +9,6 @@ logger hierarchy, a single ``configure`` entry point, and an env override
 from __future__ import annotations
 
 import logging
-import os
 
 __all__ = ["get_logger", "configure"]
 
@@ -28,7 +27,9 @@ def configure(level: str | int | None = None,
     global _configured
     logger = logging.getLogger(_ROOT)
     if level is None:
-        level = os.environ.get("PYMRA_LOG_LEVEL", "INFO")
+        from pymra_tpu.utils.config import flag
+
+        level = flag("PYMRA_LOG_LEVEL")
     logger.setLevel(level)
     if not _configured:
         handler = logging.StreamHandler()

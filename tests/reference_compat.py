@@ -17,7 +17,9 @@ import types
 
 import numpy as np
 
-REFERENCE_ROOT = os.environ.get("PYMRA_REFERENCE_PATH", "/root/reference")
+from pymra_tpu.utils.config import flag as _flag
+
+REFERENCE_ROOT = _flag("PYMRA_REFERENCE_PATH")
 
 
 def _contains(candidates, values):

@@ -26,6 +26,8 @@ from pymra_tpu import kernels
 from pymra_tpu.tree.model import MRAModel
 from pymra_tpu.utils import gen_locations
 
+from pymra_tpu.utils.config import flag as _flag
+
 #: reference getLikelihood() on the README MLE config — BASELINE.md, also
 #: reproduced live against /root/reference this session (-37.13999707066677)
 README_1D_OBJECTIVE = -37.13999707066677
@@ -112,7 +114,7 @@ class TestGoldenAnchors:
         )
 
     @pytest.mark.skipif(
-        os.environ.get("PYMRA_RUN_1M", "0") != "1",
+        _flag("PYMRA_RUN_1M") != "1",
         reason="several minutes of f64 CPU compute; set PYMRA_RUN_1M=1",
     )
     def test_1m_objective(self):
