@@ -55,20 +55,31 @@ def project(dplan, measured_ms: float, chips=(1, 2, 4, 8, 16, 32),
     program relative to the serial sweep (``benchmarks/
     bench_sharded_overhead.py`` on a 1-device mesh — shard_map
     bookkeeping, the fill-gather reassembly, degenerate-collective
-    dispatch; 5.2 ms at the N=10^6 flagship, r4). Charged whenever
-    n > 1 — calibrating the projection against the code path that would
-    actually run, not just the communication model."""
+    dispatch). Charged whenever n > 1 — calibrating the projection
+    against the code path that would actually run, not just the
+    communication model.
+
+    Each chip count is projected with ITS OWN critical depth
+    (``parallel.sharded.int_shard_level``): the fine interior levels
+    shard across the mesh, so both the replicated-compute fraction and
+    the psum volume shrink with what that chip count's padded plan would
+    actually run."""
+    from pymra_tpu.parallel.sharded import int_shard_level
     from pymra_tpu.utils.accounting import sweep_cost
 
-    cost = sweep_cost(dplan, compute_posterior=compute_posterior)
-    leaf_frac = cost.leaf_flops / max(cost.flops, 1.0)
-    t1 = measured_ms / 1e3
-    t_leaf = t1 * leaf_frac
-    t_int = t1 * (1.0 - leaf_frac)
-    psum_total = float(sum(b for _, b in cost.psum_bytes_per_level))
-
     rows = []
+    per_n = {}
     for n in chips:
+        crit = int_shard_level(dplan, n) if n > 1 else 10 ** 9
+        cost = per_n.get(crit)
+        if cost is None:
+            cost = per_n[crit] = sweep_cost(
+                dplan, compute_posterior=compute_posterior,
+                int_shard_from=crit)
+        shardable_frac = cost.leaf_flops / max(cost.flops, 1.0)
+        t1 = measured_ms / 1e3
+        t_shard = t1 * shardable_frac
+        t_rep = t1 * (1.0 - shardable_frac)
         comm = 0.0
         for _, b in cost.psum_bytes_per_level:
             if n <= chips_per_host:
@@ -78,23 +89,29 @@ def project(dplan, measured_ms: float, chips=(1, 2, 4, 8, 16, 32),
                 n_hosts = n // chips_per_host
                 comm += allreduce_s(b, chips_per_host, ICI_GBPS)
                 comm += allreduce_s(b, n_hosts, DCN_GBPS)
-        tn = t_leaf / n + t_int + comm + (
+        tn = t_shard / n + t_rep + comm + (
             sharded_overhead_ms / 1e3 if n > 1 else 0.0)
         eff = t1 / (n * tn)
         rows.append({
             "chips": n,
             "hosts": max(1, n // chips_per_host),
+            "int_shard_from": crit if crit < 10 ** 9 else None,
             "per_eval_ms": round(1e3 * tn, 3),
             "evals_per_sec": round(1.0 / tn, 2),
             "comm_ms": round(1e3 * comm, 3),
+            "psum_mbytes": round(sum(
+                b for _, b in cost.psum_bytes_per_level) / 1e6, 3),
+            "shardable_flop_fraction": round(shardable_frac, 4),
             "scaling_efficiency": round(eff, 4),
         })
+    # headline psum volume: the multi-chip (critDepth) plan's
+    cost_mc = per_n.get(min(k for k in per_n), None) or next(
+        iter(per_n.values()))
+    psum_total = float(sum(b for _, b in cost_mc.psum_bytes_per_level))
     return {
-        "leaf_flop_fraction": round(leaf_frac, 4),
-        "replicated_flop_fraction": round(1.0 - leaf_frac, 4),
         "psum_bytes_per_level": [
             {"level": l, "mbytes": round(b / 1e6, 3)}
-            for l, b in cost.psum_bytes_per_level
+            for l, b in cost_mc.psum_bytes_per_level
         ],
         "psum_total_mbytes": round(psum_total / 1e6, 3),
         "assumptions": {
@@ -102,8 +119,9 @@ def project(dplan, measured_ms: float, chips=(1, 2, 4, 8, 16, 32),
             "chips_per_host": chips_per_host,
             "measured_single_chip_ms": measured_ms,
             "sharded_overhead_ms": sharded_overhead_ms,
-            "model": ("T(n) = t_leaf/n + t_interior + sharded_overhead"
-                      " + ring-allreduce(psums)"),
+            "model": ("T(n) = t_shardable/n + t_replicated +"
+                      " sharded_overhead + ring-allreduce(psums),"
+                      " critDepth per chip count"),
         },
         "projection": rows,
     }
@@ -128,12 +146,13 @@ def main():
                      config=PlanConfig(r=args.r, kmeans_impl="native"))
     rep = project(model.dplan, args.measured_ms)
     print(json.dumps(rep))
-    print(f"# N={len(locs)} r={args.r} M={model.dplan.M}; "
-          f"leaf flop fraction {rep['leaf_flop_fraction']}", file=sys.stderr)
+    print(f"# N={len(locs)} r={args.r} M={model.dplan.M}", file=sys.stderr)
     for row in rep["projection"]:
         print(f"#  {row['chips']:3d} chips ({row['hosts']} host(s)): "
               f"{row['per_eval_ms']:9.3f} ms/eval  "
               f"comm {row['comm_ms']:7.3f} ms  "
+              f"crit {str(row['int_shard_from']):>4s}  "
+              f"psum {row['psum_mbytes']:7.2f} MB  "
               f"eff {100 * row['scaling_efficiency']:5.1f}%", file=sys.stderr)
 
 

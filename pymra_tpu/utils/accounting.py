@@ -58,8 +58,17 @@ def _chol_flops(n, p):
     return n * p**3 / 3.0
 
 
-def sweep_cost(dplan, compute_posterior: bool = True) -> SweepCost:
+def sweep_cost(dplan, compute_posterior: bool = True,
+               int_shard_from: int = 10 ** 9) -> SweepCost:
     """Exact-shape cost model of one ``mra_sweep`` evaluation.
+
+    ``int_shard_from``: the critical depth a sharded run would use
+    (``pymra_tpu.parallel.sharded.int_shard_level``). Interior levels at
+    or below it count as *shardable* work (``leaf_flops``) and their
+    message aggregation needs no psum; the only per-parent message
+    collective left is at the transition level, plus the posterior
+    output psum. The huge default reproduces the replicate-all-interiors
+    accounting of rounds 1-4.
 
     The leaf-pass estimate assumes the FUSED factorization kernels are
     engaged (``cholesky_logdet`` / ``cholesky_inv_logdet``: one ``Li``
@@ -117,8 +126,8 @@ def sweep_cost(dplan, compute_posterior: bool = True) -> SweepCost:
         if S:
             f += 2 * n * S * r * S + 2 * n * S * r * r  # neg, neg@LinvT
             b += F32 * n * ((S + r) ** 2 * 2 + (S + r) * d * 2)  # chain writes
-        add(f"A{m} interior prior (n={n}, S={S})", f, b, False,
-            exec_extra=(CHOL_CASCADE - 1) * cf)
+        add(f"A{m} interior prior (n={n}, S={S})", f, b,
+            m >= int_shard_from, exec_extra=(CHOL_CASCADE - 1) * cf)
 
     # ---------------- Pass B: leaf conditional + A/omega + factorizations --
     for m, lvl in enumerate(dplan.levels):
@@ -192,9 +201,17 @@ def sweep_cost(dplan, compute_posterior: bool = True) -> SweepCost:
             f += 2 * n * r * S * S  # ATil
             f += n * r * r * S  # G
         f += n * r * r  # g
-        # psum volume at this level (A_sh + omg_sh) when leaf-sharded
-        psum_levels.append((m, F32 * n * (w * w + w)))
-        add(f"C{m} upward (n={n}, S={S})", f, b, False,
+        # psum volume at this level (A_sh + omg_sh): under the critDepth
+        # scheme messages to SHARDED levels stay device-local; a level
+        # needs the collective only when it is replicated AND receives
+        # from sharded children — the transition level (crit - 1) or a
+        # replicated parent of a leaf level
+        has_leaf_child = (m + 1 <= M
+                          and dplan.levels[m + 1].leaf_locs.shape[0] > 0)
+        if m < int_shard_from and (m == int_shard_from - 1
+                                   or has_leaf_child):
+            psum_levels.append((m, F32 * n * (w * w + w)))
+        add(f"C{m} upward (n={n}, S={S})", f, b, m >= int_shard_from,
             exec_extra=(CHOL_CASCADE - 1) * cf)
 
     # ---------------- Pass D: posterior (downward) -------------------------
@@ -209,7 +226,8 @@ def sweep_cost(dplan, compute_posterior: bool = True) -> SweepCost:
                 f += 2 * n * r * S  # w_own
                 f += 2 * n * r * S * S  # G Vp
             b = F32 * n * ((S + r) ** 2 * 2)
-            add(f"D{m} posterior chain (n={n}, S={S})", f, b, False)
+            add(f"D{m} posterior chain (n={n}, S={S})", f, b,
+                m >= int_shard_from)
         for m, lvl in enumerate(dplan.levels):
             n = lvl.leaf_locs.shape[0]
             if n == 0:

@@ -81,6 +81,60 @@ class TestShardedEquivalence:
             float(g_shd.params["l"]), float(g_ref.params["l"]), rtol=1e-9
         )
 
+
+    def test_critdepth_interior_sharding(self, mesh8):
+        """Deep uniform tree: interior levels shard (the TPU-native
+        critDepth, DevicePlan.int_shard_from) and results stay exact.
+
+        4096 locs / M=4 gives interiors (1, 4, 16, 64) + 256 leaves:
+        at 8 shards levels 3 (interior) and 4 (leaves) are device-local,
+        the only per-parent message psum is the level-3 -> level-2
+        transition, and the likelihood's sharded-interior increments are
+        psum-ed separately."""
+        from pymra_tpu.parallel.sharded import (
+            int_shard_level,
+            pad_plan_for_sharding,
+        )
+
+        locs = gen_locations_2d(64)
+        kern = kernels.Kernel("matern32", l=0.3, sig=1.1)
+        y = _data(locs, kern, 7)
+        model = MRAModel(locs, r=4, M=4, J=4)
+        crit = int_shard_level(model.dplan, 8)
+        assert crit == 3, "config must exercise interior sharding"
+        padded = pad_plan_for_sharding(model.dplan, 8)
+        assert padded.int_shard_from == crit
+        ref = model.sweep(kern, y, 1e-3)
+        shd = sharded_sweep(model.dplan, kern, y, 1e-3, mesh8)
+        np.testing.assert_allclose(
+            float(shd.objective), float(ref.objective), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(shd.mean), np.asarray(ref.mean), atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(shd.var), np.asarray(ref.var), atol=1e-11
+        )
+
+    def test_critdepth_gradient(self, mesh8):
+        """Gradients flow through the critDepth collectives too."""
+        locs = gen_locations_2d(64)
+        kern = kernels.Kernel("matern32", l=0.3, sig=1.1)
+        y = _data(locs, kern, 9)
+        model = MRAModel(locs, r=4, M=4, J=4)
+        f_shd = sharded_loglik_fn(model.dplan, y, 1e-3, mesh8)
+        f_ref = model.loglik_fn(y, 1e-3)
+        g_shd = jax.grad(lambda k: f_shd(k))(kern)
+        g_ref = jax.grad(lambda k: f_ref(k))(kern)
+        np.testing.assert_allclose(
+            np.asarray(g_shd.params["l"]), np.asarray(g_ref.params["l"]),
+            rtol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_shd.params["sig"]),
+            np.asarray(g_ref.params["sig"]), rtol=1e-9,
+        )
+
     def test_chain_by_data_mesh_vmap_grad(self):
         """The flagship 2-D mesh: vmap(grad) over chains INSIDE a shard_map
         over data — exactly ``__graft_entry__.dryrun_multichip``'s
