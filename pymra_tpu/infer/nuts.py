@@ -61,8 +61,24 @@ def nuts(
     target_accept: float = 0.8,
     init_step_size: float = 0.1,
     adapt_mass: bool = True,
+    steps_per_call: int | None = None,
 ) -> NUTSResult:
-    """Run NUTS chains (same contract as :func:`pymra_tpu.infer.hmc.hmc`)."""
+    """Run NUTS chains (same contract as :func:`pymra_tpu.infer.hmc.hmc`).
+
+    ``steps_per_call``: when set, the run is split into multiple device
+    dispatches of at most this many transitions each, with the sampler
+    state (positions, gradients, dual-averaging and metric accumulators)
+    carried on device between calls. All chunks share ONE compiled
+    program (the warmup schedule rides in as boolean step inputs), so
+    this costs one extra host round-trip per chunk and nothing else.
+    Use it (a) on platforms that cap single-dispatch execution time —
+    this environment's tunneled TPU kills dispatches beyond ~1 minute,
+    which a long warmup inside one ``lax.scan`` exceeds — and (b) to
+    checkpoint long runs between chunks (``utils.checkpoint``). ``None``
+    (default) = the whole run is one dispatch. Do NOT wrap the chunked
+    form in an outer ``jax.jit`` — it is a host-side loop of jitted
+    calls.
+    """
     chains = jax.tree_util.tree_leaves(init_params)[0].shape[0]
     theta0 = jax.tree.map(lambda a: a[0], init_params)
     _, unravel = ravel_pytree(theta0)
@@ -292,66 +308,104 @@ def nuts(
     end_mask = np_host.concatenate(
         [end_mask, np_host.zeros(num_samples, bool)])
 
-    def single_chain(x_init, key):
-        lp0, g0 = value_and_grad(x_init)
-        da0 = da_init(jnp.asarray(init_step_size, dtype=dtype))
-        wf0 = welford_init(dim, dtype)
-        inv_mass0 = jnp.ones(dim, dtype)
+    da0 = da_init(jnp.asarray(init_step_size, dtype=dtype))
+    wf0 = welford_init(dim, dtype)
 
-        def step(carry, inp):
-            key, warm, slow, at_end = inp
-            x, lp, grad, da, wf, inv_mass, n_div = carry
-            # warmup: current dual-averaging iterate; sampling: the frozen
-            # average (da was re-initialized at the last window boundary,
-            # so da_final(da) IS the final adapted step size)
-            eps = jnp.where(warm, jnp.exp(da.log_eps), da_final(da))
-            x, lp, grad, acc, div, depth = transition(
-                x, lp, grad, eps, inv_mass, key
-            )
-            da = jax.tree.map(
-                lambda new, old: jnp.where(warm, new, old),
-                da_update(da, acc, target_accept), da,
-            )
-            wf = jax.tree.map(
-                lambda new, old: jnp.where(slow, new, old),
-                welford_update(wf, x), wf,
-            )
-            # window boundary: apply metric (slow windows only), restart
-            # dual averaging around the frozen step size, reset Welford
-            if adapt_mass:
-                inv_mass = jnp.where(
-                    at_end & slow, welford_var(wf), inv_mass
-                )
-            da = jax.tree.map(
-                lambda new, old: jnp.where(at_end, new, old),
-                da_init(da_final(da)), da,
-            )
-            wf = jax.tree.map(
-                lambda new, old: jnp.where(at_end, new, old), wf0, wf,
-            )
-            n_div = n_div + jnp.where(warm, 0, div.astype(jnp.int32))
-            return (x, lp, grad, da, wf, inv_mass, n_div), (
-                x, lp, acc, depth)
-
-        keys = jax.random.split(key, n_total_steps)
-        (_, _, _, da, _, inv_mass, n_div), (xs, lps, accs, depths) = (
-            jax.lax.scan(
-                step,
-                (x_init, lp0, g0, da0, wf0, inv_mass0,
-                 jnp.zeros((), jnp.int32)),
-                (keys, jnp.asarray(warm_mask), jnp.asarray(slow_mask),
-                 jnp.asarray(end_mask)),
-            )
+    def step(carry, inp):
+        key, warm, slow, at_end = inp
+        x, lp, grad, da, wf, inv_mass = carry
+        # warmup: current dual-averaging iterate; sampling: the frozen
+        # average (da was re-initialized at the last window boundary,
+        # so da_final(da) IS the final adapted step size)
+        eps = jnp.where(warm, jnp.exp(da.log_eps), da_final(da))
+        x, lp, grad, acc, div, depth = transition(
+            x, lp, grad, eps, inv_mass, key
         )
-        xs = xs[num_warmup:]
-        lps = lps[num_warmup:]
-        accs = accs[num_warmup:]
-        depths = depths[num_warmup:]
-        return xs, lps, accs.mean(), da_final(da), inv_mass, n_div, depths
+        da = jax.tree.map(
+            lambda new, old: jnp.where(warm, new, old),
+            da_update(da, acc, target_accept), da,
+        )
+        wf = jax.tree.map(
+            lambda new, old: jnp.where(slow, new, old),
+            welford_update(wf, x), wf,
+        )
+        # window boundary: apply metric (slow windows only), restart
+        # dual averaging around the frozen step size, reset Welford
+        if adapt_mass:
+            inv_mass = jnp.where(
+                at_end & slow, welford_var(wf), inv_mass
+            )
+        da = jax.tree.map(
+            lambda new, old: jnp.where(at_end, new, old),
+            da_init(da_final(da)), da,
+        )
+        wf = jax.tree.map(
+            lambda new, old: jnp.where(at_end, new, old), wf0, wf,
+        )
+        return (x, lp, grad, da, wf, inv_mass), (
+            x, lp, acc, depth, div)
 
-    keys = jax.random.split(key, chains)
-    xs, lps, acc, eps, inv_mass, n_div, depths = jax.vmap(single_chain)(
-        x0, keys
-    )
+    def run_chunk(carry, keys, warm, slow, end):
+        """One compiled dispatch: scan ``len(warm)`` transitions for every
+        chain. carry leaves have a leading chains axis; the schedule masks
+        are shared across chains."""
+
+        def one_chain(c, kk):
+            return jax.lax.scan(step, c, (kk, warm, slow, end))
+
+        return jax.vmap(one_chain, in_axes=(0, 0))(carry, keys)
+
+    def chain_init(x_init):
+        lp0, g0 = value_and_grad(x_init)
+        return (x_init, lp0, g0, da0, wf0, jnp.ones(dim, dtype))
+
+    carry = jax.jit(jax.vmap(chain_init))(x0)
+    warm_j = jnp.asarray(warm_mask)
+    slow_j = jnp.asarray(slow_mask)
+    end_j = jnp.asarray(end_mask)
+
+    if steps_per_call is None or steps_per_call >= n_total_steps:
+        keys = jax.vmap(
+            lambda k: jax.random.split(k, n_total_steps)
+        )(jax.random.split(key, chains))
+        carry, (xs, lps, accs, depths, divs) = run_chunk(
+            carry, keys, warm_j, slow_j, end_j)
+    else:
+        # host-driven chunk loop, one compiled program for every chunk:
+        # pad the schedule to whole chunks with extra sampling steps
+        # (frozen eps, no adaptation) and drop the surplus draws below
+        spc = int(steps_per_call)
+        n_chunks = -(-n_total_steps // spc)
+        pad = n_chunks * spc - n_total_steps
+        pz = jnp.zeros(pad, bool)
+        warm_j = jnp.concatenate([warm_j, pz])
+        slow_j = jnp.concatenate([slow_j, pz])
+        end_j = jnp.concatenate([end_j, pz])
+        keys = jax.vmap(
+            lambda k: jax.random.split(k, n_chunks * spc)
+        )(jax.random.split(key, chains))
+        chunk_jit = jax.jit(run_chunk)
+        outs = []
+        for c in range(n_chunks):
+            sl = slice(c * spc, (c + 1) * spc)
+            carry, out = chunk_jit(
+                carry, keys[:, sl], warm_j[sl], slow_j[sl], end_j[sl])
+            # block per chunk: keeps each device dispatch bounded (the
+            # point of chunking) and lets callers checkpoint between
+            jax.block_until_ready(out[0])
+            outs.append(out)
+        xs, lps, accs, depths, divs = (
+            jnp.concatenate([o[i] for o in outs], axis=1)
+            for i in range(5)
+        )
+
+    _, _, _, da, _, inv_mass = carry
+    sel = slice(num_warmup, num_warmup + num_samples)
+    xs = xs[:, sel]
+    lps = lps[:, sel]
+    acc = accs[:, sel].mean(axis=1)
+    n_div = divs[:, sel].astype(jnp.int32).sum(axis=1)
+    depths = depths[:, sel]
+    eps = da_final(da)
     samples = jax.vmap(jax.vmap(unravel))(xs)
     return NUTSResult(samples, lps, acc, eps, inv_mass, n_div, depths)

@@ -64,6 +64,23 @@ __all__ = ["DeviceLevel", "DevicePlan", "SweepResult", "make_device_plan",
 LOG2PI = float(np.log(2.0 * np.pi))
 
 
+def _PREC() -> str:
+    """Matmul precision for every contraction in the sweep.
+
+    TPU f32 matmuls are emulated on the bf16 MXU in multiple passes:
+    "highest" = 6 passes (near-f64 cross terms), "high" = 3 passes
+    (~f32-quality), "default" = 1 pass (bf16 inputs — measured to produce
+    NaN-indefinite conditional blocks on deep trees, do not use). Rounds
+    1-4 pinned "highest" everywhere; A/B at the N=1M flagship (round 5)
+    measured "high" numerically indistinguishable at the golden anchors
+    while halving MXU passes, so it is the default — ``PYMRA_MATMUL``
+    overrides for comparison.
+    """
+    from pymra_tpu.utils.config import flag
+
+    return flag("PYMRA_MATMUL")
+
+
 class DeviceLevel(NamedTuple):
     """Static per-level arrays on device (see plan.LevelGroup)."""
 
@@ -585,7 +602,7 @@ def _chain_cond(covfn, X, parent, chain_Q, chain_GG, jitter,
         if not want_W:
             GGg = GGg[..., :S]
         C_all = covfn(Xg, Qg)  # [n/c, c q, S]
-        ZW = jnp.matmul(C_all, GGg, precision="highest")
+        ZW = jnp.matmul(C_all, GGg, precision=_PREC())
         Zt = ZW[..., :S].reshape(n, q, S)
         if want_W:
             Wg = ZW[..., S:]
@@ -594,12 +611,12 @@ def _chain_cond(covfn, X, parent, chain_Q, chain_GG, jitter,
         Qp = chain_Q[parent]  # [n, S, d]
         GGp = (chain_GG if want_W else chain_GG[..., :S])[parent]
         C_all = covfn(X, Qp)  # [n, q, S]
-        ZW = jnp.matmul(C_all, GGp, precision="highest")
+        ZW = jnp.matmul(C_all, GGp, precision=_PREC())
         Zt = ZW[..., :S]
         if want_W:
             W = ZW[..., S:]
     C_raw = covfn(X, X)
-    C_own = C_raw - jnp.einsum("nqu,npu->nqp", Zt, Zt, precision="highest")
+    C_own = C_raw - jnp.einsum("nqu,npu->nqp", Zt, Zt, precision=_PREC())
     if jitter:
         C_own = _jitter_lift(C_raw, C_own, jitter)
     return Zt, C_own, W, Wg
@@ -707,11 +724,11 @@ def mra_sweep(
       :class:`SweepResult` (plus an internals dict if requested).
     """
     # Pin every matmul — including those XLA synthesizes inside cholesky /
-    # triangular_solve — to full float32 accumulation. On TPU the default
-    # is single-pass bfloat16, which is fine for shallow trees but
-    # accumulates into NaN-producing indefiniteness over deep (M~8)
-    # conditional-downdate chains on fine grids.
-    with jax.default_matmul_precision("float32"):
+    # triangular_solve — to at least 3-pass bf16 accumulation (see _PREC).
+    # On TPU the bare default is single-pass bfloat16, which is fine for
+    # shallow trees but accumulates into NaN-producing indefiniteness over
+    # deep (M~8) conditional-downdate chains on fine grids.
+    with jax.default_matmul_precision(_PREC()):
         return _mra_sweep_impl(
             dplan, covfn, y, r_diag, compute_posterior, jitter,
             keep_internals, axis_name, r_dense, prep,
@@ -852,11 +869,11 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                                n_int)  # [n, S, 2S]
             GpT, GLTp = GGp[..., :S], GGp[..., S:]
             neg = -jnp.matmul(GpT, jnp.swapaxes(Zt, -1, -2),
-                              precision="highest")  # [n, S, r]
+                              precision=_PREC())  # [n, S, r]
             zeros_bot = jnp.zeros((n_int, r, S), dtype=dtype)
             chain_GG[m] = jnp.concatenate([
                 jnp.concatenate(
-                    [GpT, jnp.matmul(neg, LinvT, precision="highest"),
+                    [GpT, jnp.matmul(neg, LinvT, precision=_PREC()),
                      GLTp, neg],
                     axis=-1,
                 ),
@@ -957,8 +974,8 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             L_R = _chol(R_m, jitter)
             Bw = _tri_solve(L_R, Bstack * o[:, :, None])
             yw = _tri_solve(L_R, y0[..., None])[..., 0]
-            A = jnp.einsum("npa,npb->nab", Bw, Bw, precision="highest")
-            omg = jnp.einsum("npa,np->na", Bw, yw, precision="highest")
+            A = jnp.einsum("npa,npb->nab", Bw, Bw, precision=_PREC())
+            omg = jnp.einsum("npa,np->na", Bw, yw, precision=_PREC())
             A_oo, A_oh, A_hh = A[:, S:, S:], A[:, S:, :S], A[:, :S, :S]
             omg_o, omg_h = omg[:, S:], omg[:, :S]
             logdet_R = 2.0 * _logdiag_sum(L_R)
@@ -982,18 +999,18 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 quad_y = jnp.sum(w * y0 * y0, axis=-1)
             Bw = B_own * w[:, :, None]
             A_oo = jnp.einsum("npa,npb->nab", Bw, B_own,
-                              precision="highest")
-            omg_o = jnp.einsum("npa,np->na", B_own, wy, precision="highest")
+                              precision=_PREC())
+            omg_o = jnp.einsum("npa,np->na", B_own, wy, precision=_PREC())
             if S:
                 A_oh = jnp.einsum("npa,npb->nab", Bw, W,
-                                  precision="highest")
+                                  precision=_PREC())
                 if not grp:
                     # per-leaf head Gram blocks (the grouped path aggregates
                     # them straight at the parent below — c x less memory)
                     A_hh = jnp.einsum("npa,np,npb->nab", W, w, W,
-                                      precision="highest")
+                                      precision=_PREC())
                     omg_h = jnp.einsum("npa,np->na", W, wy,
-                                       precision="highest")
+                                       precision=_PREC())
 
         from pymra_tpu.ops.pallas.linalg import (
             cholesky_inv_logdet,
@@ -1054,10 +1071,10 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             LiT = jnp.swapaxes(Li, -1, -2)
 
             def solve_l(B, Li=Li):
-                return jnp.matmul(Li, B, precision="highest")
+                return jnp.matmul(Li, B, precision=_PREC())
 
             def solve_lt(B, LiT=LiT):
-                return jnp.matmul(LiT, B, precision="highest")
+                return jnp.matmul(LiT, B, precision=_PREC())
         else:
 
             def solve_l(B, L_post=L_post):
@@ -1094,16 +1111,16 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 Xblkg = Xblk.reshape(n_par, grp * P, S)
                 ATil = (
                     jnp.einsum("nqa,nqb->nab", Wg * wg[..., None], Wg,
-                               precision="highest")
+                               precision=_PREC())
                     - jnp.einsum("nqa,nqb->nab", Xblkg, Xblkg,
-                                 precision="highest")
+                                 precision=_PREC())
                 )
                 omgTil = (
                     jnp.einsum("nqa,nq->na", Wg, wy.reshape(
-                        n_par, grp * P), precision="highest")
+                        n_par, grp * P), precision=_PREC())
                     - jnp.einsum("nqa,nq->na", Xblkg,
                                  v.reshape(n_par, grp * P),
-                                 precision="highest")
+                                 precision=_PREC())
                 )
                 if shard is not None:
                     # rows ARE parents [idx*n_par, (idx+1)*n_par); Pass C
@@ -1124,10 +1141,10 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     )
             else:
                 ATil = A_hh - jnp.einsum(
-                    "npa,npb->nab", Xblk, Xblk, precision="highest"
+                    "npa,npb->nab", Xblk, Xblk, precision=_PREC()
                 )
                 omgTil = omg_h - jnp.einsum(
-                    "npa,np->na", Xblk, v, precision="highest"
+                    "npa,np->na", Xblk, v, precision=_PREC()
                 )
                 children[m].append((ATil, omgTil, lvl.leaf_parent, True, grp))
             G = solve_lt(Xblk)  # K~ A_own_head [n,P,S]
@@ -1226,10 +1243,10 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         if S:
             Xblk = _tri_solve(L_post, A[:, S:, :S])
             ATil = A[:, :S, :S] - jnp.einsum(
-                "nra,nrb->nab", Xblk, Xblk, precision="highest"
+                "nra,nrb->nab", Xblk, Xblk, precision=_PREC()
             )
             omgTil = omg[:, :S] - jnp.einsum(
-                "nra,nr->na", Xblk, v, precision="highest"
+                "nra,nr->na", Xblk, v, precision=_PREC()
             )
             c_int = _int_group(m, n_int)
             if lvl_sharded and m == crit:
@@ -1299,7 +1316,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 # per the same critDepth rules as the prior chain
                 Up = _parent_rows(post_U[m - 1], m, par,
                                   _int_group(m, n_i_loc), n_i_loc)
-                GU = jnp.matmul(G, Up, precision="highest")  # [n, r, S+1]
+                GU = jnp.matmul(G, Up, precision=_PREC())  # [n, r, S+1]
                 S = m * dplan.r
                 n_i = Up.shape[0]
                 top = jnp.concatenate(
@@ -1348,11 +1365,11 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 st["post_blocks"] = {m: T_own}
             # own-level contribution (reference moments, MRANode.py:509-511)
             mean_l = jnp.einsum(
-                "npq,nq->np", T_own, st["g"], precision="highest"
+                "npq,nq->np", T_own, st["g"], precision=_PREC()
             )
             if st["Li"] is not None:
                 half = jnp.matmul(st["Li"], jnp.swapaxes(T_own, -1, -2),
-                                  precision="highest")
+                                  precision=_PREC())
             else:
                 half = _tri_solve(st["L_post"], jnp.swapaxes(T_own, -1, -2))
             var_l = jnp.sum(half * half, axis=-2)
@@ -1362,7 +1379,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 # contiguously grouped, else gathered) — mean and variance
                 # contributions from a single matmul over h
                 h = st["W"] - jnp.einsum(
-                    "npq,nqs->nps", T_own, st["G"], precision="highest"
+                    "npq,nqs->nps", T_own, st["G"], precision=_PREC()
                 )
                 grp = st["grp"]
                 n_l, P_l = h.shape[0], h.shape[1]
@@ -1385,7 +1402,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     else:
                         Upar = post_U[m - 1][lvl.leaf_parent[::grp]]
                     hg = h.reshape(n_l // grp, grp * P_l, S)
-                    hU = jnp.matmul(hg, Upar, precision="highest")
+                    hU = jnp.matmul(hg, Upar, precision=_PREC())
                     mean_l = mean_l + hU[..., S].reshape(n_l, P_l)
                     var_l = var_l + jnp.sum(
                         hU[..., :S] * hU[..., :S], axis=-1
@@ -1393,7 +1410,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 else:
                     Upar = post_U[m - 1][lvl.leaf_parent]
                     hU = jnp.einsum("nps,nsu->npu", h, Upar,
-                                    precision="highest")
+                                    precision=_PREC())
                     mean_l = mean_l + hU[..., S]
                     var_l = var_l + jnp.sum(
                         hU[..., :S] * hU[..., :S], axis=-1
@@ -1402,7 +1419,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                 # keep_internals: replay the per-ancestor downdates so the
                 # BTil blocks can be stashed for basis-matrix assembly
                 T = st["W"] - jnp.einsum(
-                    "npq,nqs->nps", T_own, st["G"], precision="highest"
+                    "npq,nqs->nps", T_own, st["G"], precision=_PREC()
                 )
                 for j in range(m - 1, -1, -1):
                     anc = lvl.leaf_path[:, j]
@@ -1411,7 +1428,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     st["post_blocks"][j] = blk
                     gj = stj["g"][anc]
                     mean_l = mean_l + jnp.einsum(
-                        "npr,nr->np", blk, gj, precision="highest"
+                        "npr,nr->np", blk, gj, precision=_PREC()
                     )
                     Lj = stj["L_post"][anc]
                     halfj = _tri_solve(Lj, jnp.swapaxes(blk, -1, -2))
@@ -1419,7 +1436,7 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     if j:
                         Gj = stj["G"][anc]
                         T = T[:, :, : j * dplan.r] - jnp.einsum(
-                            "npr,nrs->nps", blk, Gj, precision="highest"
+                            "npr,nrs->nps", blk, Gj, precision=_PREC()
                         )
             if use_gather:
                 mean_parts.append(mean_l.reshape(-1))

@@ -52,13 +52,13 @@ FLAGS: dict[str, Flag] = {f.name: f for f in [
          "kernel pass produces the prior log-determinant and the "
          "posterior inverse factor + log-determinant; K_leaf never "
          "exists in HBM. '0' falls back to the two-kernel path."),
-    Flag("PYMRA_SWEEP_BF16", "1", ("1", "0"),
-         "Store the sweep's largest theta-dependent stash tensors "
-         "(chain products / ancestor bases) in bfloat16 with float32 "
-         "accumulation in every consuming matmul. Halves the dominant "
-         "HBM streams of the N=1M sweep; error bounded by the deep-tree "
-         "f32 stress test and the golden-anchor tolerances. '0' keeps "
-         "everything float32."),
+    Flag("PYMRA_MATMUL", "high", ("highest", "high", "default"),
+         "MXU pass count for every matmul in the sweep: f32 matmuls are "
+         "emulated on the bf16 systolic array in 6 ('highest'), 3 "
+         "('high') or 1 ('default') passes. 'high' is ~f32-quality and "
+         "the shipped default; 'highest' reproduces rounds 1-4; "
+         "'default' (single-pass bf16) NaNs deep conditional chains — "
+         "debugging only."),
     Flag("PYMRA_PALLAS", "", ("", "force", "interpret"),
          "'force'/'interpret': route Pallas kernels through interpret "
          "mode on CPU so the test suite covers TPU-only sweep branches "
