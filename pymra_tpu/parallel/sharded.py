@@ -176,32 +176,67 @@ def pad_plan_for_sharding(dplan: DevicePlan, n_shards: int) -> DevicePlan:
         shard_groups = n_shards
         n = dplan.n_locs
         # per-shard slot layout: concatenation over leaf levels of this
-        # shard's [target/n_shards, P] rows, flattened row-major
+        # shard's [target/n_shards, P] rows, flattened row-major. The
+        # GLOBAL slot of a location under the tiled all_gather of the
+        # per-shard segments is owner * slots_per_shard + local_slot —
+        # posterior reassembly is then ONE static permutation gather
+        # after the all_gather, replacing round 4's per-shard fill-gather
+        # + [N] psum (the fill/clamp gathers measured ~2x the plain
+        # permutation gather, and the whole scheme was the dominant part
+        # of the 5.3 ms per-device sharded overhead; the all_gather also
+        # moves HALF the bytes of the psum it replaces).
         slots_per_shard = sum(
             (lvl.leaf_loc_gidx.shape[0] // n_shards)
             * lvl.leaf_loc_gidx.shape[1]
             for lvl in levels if lvl.leaf_loc_gidx.shape[0]
         )
-        # built with jnp ops: the plan arrays may be tracers when a caller
-        # wraps sharded_sweep in jit. Padded / masked slots carry the
-        # sentinel gidx == n, which is out of bounds for the location axis
-        # — mode='drop' discards them, leaving exactly the owner writes.
-        pinv = jnp.full((n_shards, n), slots_per_shard, dtype=jnp.int32)
-        offset = 0
-        for lvl in levels:
-            if not lvl.leaf_loc_gidx.shape[0]:
-                continue
-            gidx = lvl.leaf_loc_gidx
-            ps, P = gidx.shape[0] // n_shards, gidx.shape[1]
-            rows = jnp.arange(gidx.shape[0], dtype=jnp.int32)[:, None]
-            cols = jnp.arange(P, dtype=jnp.int32)[None, :]
-            owner = rows // ps
-            slot = offset + (rows - owner * ps) * P + cols
-            pinv = pinv.at[
-                jnp.broadcast_to(owner, gidx.shape), gidx
-            ].set(jnp.broadcast_to(slot, gidx.shape), mode="drop")
-            offset += ps * P
-        post_inv = pinv
+        import jax as _jax
+
+        concrete = not any(
+            isinstance(lvl.leaf_loc_gidx, _jax.core.Tracer)
+            for lvl in levels if lvl.leaf_loc_gidx.shape[0]
+        )
+        if concrete:
+            # host-side: the slot map is static metadata and must be a
+            # baked constant, not per-evaluation device work (the jnp
+            # construction below showed up at ~5 ms/eval in traces when
+            # sharded_sweep was called under jit)
+            pinv = np.zeros(n, dtype=np.int32)
+            offset = 0
+            for lvl in levels:
+                if not lvl.leaf_loc_gidx.shape[0]:
+                    continue
+                gidx = np.asarray(lvl.leaf_loc_gidx)
+                ps, P = gidx.shape[0] // n_shards, gidx.shape[1]
+                rows = np.arange(gidx.shape[0], dtype=np.int32)[:, None]
+                cols = np.arange(P, dtype=np.int32)[None, :]
+                owner = rows // ps
+                slot = (owner * slots_per_shard + offset
+                        + (rows - owner * ps) * P + cols)
+                slot = np.broadcast_to(slot, gidx.shape)
+                valid = gidx < n
+                pinv[gidx[valid]] = slot[valid]
+                offset += ps * P
+            post_inv = jnp.asarray(pinv)
+        else:
+            # tracer fallback (a caller jitting pad_plan itself): same
+            # map built with jnp ops
+            pinv = jnp.zeros(n, dtype=jnp.int32)
+            offset = 0
+            for lvl in levels:
+                if not lvl.leaf_loc_gidx.shape[0]:
+                    continue
+                gidx = lvl.leaf_loc_gidx
+                ps, P = gidx.shape[0] // n_shards, gidx.shape[1]
+                rows = jnp.arange(gidx.shape[0], dtype=jnp.int32)[:, None]
+                cols = jnp.arange(P, dtype=jnp.int32)[None, :]
+                owner = rows // ps
+                slot = (owner * slots_per_shard + offset
+                        + (rows - owner * ps) * P + cols)
+                pinv = pinv.at[gidx].set(
+                    jnp.broadcast_to(slot, gidx.shape), mode="drop")
+                offset += ps * P
+            post_inv = pinv
     if int_shard_from <= dplan.M:
         # groups metadata must reflect the PER-SHARD interior counts the
         # sweep will see inside shard_map at sharded levels (the leaf
@@ -241,7 +276,10 @@ def _plan_specs(dplan: DevicePlan, axis: str) -> DevicePlan:
     return DevicePlan(levels, dplan.n_locs, dplan.r, dplan.M,
                       compute_dtype=dplan.compute_dtype,
                       index_points=dplan.index_points, groups=dplan.groups,
-                      post_inv=None if dplan.post_inv is None else P(axis),
+                      # the [N] owner-slot map is REPLICATED: reassembly is
+                      # all_gather(local slot segments) + one permutation
+                      # gather on every shard
+                      post_inv=None if dplan.post_inv is None else P(),
                       shard_groups=dplan.shard_groups,
                       int_shard_from=dplan.int_shard_from)
 
@@ -270,18 +308,32 @@ def sharded_sweep(
     an MLE/HMC loop (see :func:`sharded_loglik_fn`).
     """
     n_shards = mesh.shape[axis]
-    dplan_p = pad_plan_for_sharding(dplan, n_shards)
+    # accept an already-padded plan (shard_groups set for this count):
+    # padding outside jit bakes the owner-slot map as a host-built
+    # constant instead of re-deriving it inside every traced evaluation
+    dplan_p = (dplan if dplan.shard_groups == n_shards
+               else pad_plan_for_sharding(dplan, n_shards))
     y = jnp.asarray(y).ravel()
     r_diag = jnp.broadcast_to(jnp.asarray(r_diag, dtype=y.dtype),
                               (dplan.n_locs,))
     cov_specs = jax.tree.map(lambda _: P(), covfn)
     prep_specs = jax.tree.map(lambda _: P(axis), prep)
+    # posterior reassembly: each shard emits its LOCAL slot segments
+    # (out_specs on the mesh axis — honestly varying, so the vma checker
+    # can stay on), and the [N] permutation gather happens OUTSIDE the
+    # shard_map region, where XLA's SPMD partitioner inserts the
+    # all-gather. This replaced round 4's per-shard fill-gather + [N]
+    # psum (the fill/clamp gathers measured ~2x a plain permutation
+    # gather and dominated the 5.3 ms per-device sharded overhead).
+    segments = compute_posterior and dplan_p.post_inv is not None
     out_specs = jax.tree.map(lambda _: P(), jax.eval_shape(
         lambda dp, cv, yy, rr, pp: mra_sweep(
             dp, cv, yy, rr, compute_posterior=compute_posterior,
-            jitter=jitter, prep=pp),
+            jitter=jitter, prep=pp, axis_name=None),
         dplan_p, covfn, y, r_diag, prep,
     ))
+    if segments:
+        out_specs = out_specs._replace(mean=P(axis), var=P(axis))
 
     def body(dp, cv, yy, rr, pp):
         return mra_sweep(
@@ -290,6 +342,7 @@ def sharded_sweep(
             jitter=jitter,
             axis_name=axis,
             prep=pp,
+            posterior_segments=segments,
         )
 
     from pymra_tpu.ops.pallas.linalg import pallas_available
@@ -312,7 +365,14 @@ def sharded_sweep(
         # annotations.
         check_vma=not pallas_available(),
     )
-    return fn(dplan_p, covfn, y, r_diag, prep)
+    res = fn(dplan_p, covfn, y, r_diag, prep)
+    if segments:
+        gkw = dict(unique_indices=True, mode="promise_in_bounds")
+        res = res._replace(
+            mean=res.mean.at[dplan_p.post_inv].get(**gkw),
+            var=res.var.at[dplan_p.post_inv].get(**gkw),
+        )
+    return res
 
 
 def sharded_loglik_fn(dplan: DevicePlan, y, r_diag, mesh: Mesh,
@@ -329,7 +389,7 @@ def sharded_loglik_fn(dplan: DevicePlan, y, r_diag, mesh: Mesh,
 
     def fn(cov):
         return sharded_sweep(
-            dplan, cov, y, r_diag, mesh, axis=axis,
+            dplan_p, cov, y, r_diag, mesh, axis=axis,
             compute_posterior=False, jitter=jitter, prep=prep,
         ).loglik
 

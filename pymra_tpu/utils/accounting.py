@@ -248,8 +248,11 @@ def sweep_cost(dplan, compute_posterior: bool = True,
                 b += F32 * n * (P * S * 3 + P * S)  # W, G re-read; h, hv
             b += F32 * n * P * 2 * 2  # mean/var scatter
             add(f"D{m} leaf moments (n={n}, P={P}, S={S})", f, b, True)
-        # posterior output psum (mean+var over all locations)
-        psum_levels.append((-1, F32 * N * 2))
+        # posterior output collective: ALL_GATHER of the per-shard slot
+        # segments (mean+var), which moves half the bytes of the [N]
+        # psum it replaced — recorded as the equivalent-allreduce volume
+        # so the ring model (2b(n-1)/n) prices it right
+        psum_levels.append((-1, F32 * N))
 
     return SweepCost(
         flops=flops,

@@ -249,7 +249,9 @@ class TestShardedEquivalence:
             "sharded sweep never took the shard-contiguous stash path"
         )
         assert padded.shard_groups == 8
-        assert padded.post_inv is not None and padded.post_inv.ndim == 2
+        # [N] owner-slot map into the tiled concatenation of per-shard
+        # segments (round 5: segments + outside-gather reassembly)
+        assert padded.post_inv is not None and padded.post_inv.ndim == 1
         # (c) still numerically identical to the serial sweep
         monkeypatch.setattr(sw, "_chain_cond", orig)
         ref = model.sweep(kern, y, 1e-3)
