@@ -32,8 +32,13 @@ def main():
 
     chains = 4
     init = {"log_l": jnp.linspace(-2.5, -0.5, chains)}
+    # steps_per_call bounds each device dispatch (platforms with a
+    # dispatch-time cap, e.g. tunneled TPUs) and is the checkpoint
+    # boundary for long runs; draws are bit-identical to a single
+    # monolithic dispatch
     res = nuts(log_posterior, init, jax.random.key(2),
-               num_warmup=300, num_samples=300, max_depth=7)
+               num_warmup=300, num_samples=300, max_depth=7,
+               steps_per_call=100)
 
     ls = np.exp(np.asarray(res.samples["log_l"]))
     print(f"posterior l: median {np.median(ls):.3f}  "

@@ -29,7 +29,7 @@ from pymra_tpu.tree.model import MRAModel, MRATree
 from pymra_tpu.tree.plan import PlanConfig, TreePlan, build_plan
 from pymra_tpu.tree.sweep import DevicePlan, SweepResult, make_device_plan, mra_sweep
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Kernel",

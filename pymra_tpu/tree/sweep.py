@@ -68,13 +68,16 @@ def _PREC() -> str:
     """Matmul precision for every contraction in the sweep.
 
     TPU f32 matmuls are emulated on the bf16 MXU in multiple passes:
-    "highest" = 6 passes (near-f64 cross terms), "high" = 3 passes
-    (~f32-quality), "default" = 1 pass (bf16 inputs — measured to produce
-    NaN-indefinite conditional blocks on deep trees, do not use). Rounds
-    1-4 pinned "highest" everywhere; A/B at the N=1M flagship (round 5)
-    measured "high" numerically indistinguishable at the golden anchors
-    while halving MXU passes, so it is the default — ``PYMRA_MATMUL``
-    overrides for comparison.
+    "highest" = 6 passes (near-f64 cross terms), "high" = 3 passes,
+    "default" = 1 pass (bf16 inputs — measured to produce NaN-indefinite
+    conditional blocks on deep trees, do not use). "highest" is the
+    default: round-5 A/B measured "high" indistinguishable at the N=1M
+    anchor (rel err 5e-6, ~2% faster) but off by 4e-2 on the N=10^4
+    config — its tiny measurement error (1e-4) conditions the posterior
+    blocks at ~1e4 and amplifies the 3-pass residual through the
+    log-determinants. The bench's real-TPU numerical anchor exists to
+    catch exactly this class of silent error; ``PYMRA_MATMUL`` remains
+    for A/B.
     """
     from pymra_tpu.utils.config import flag
 

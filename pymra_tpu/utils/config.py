@@ -52,13 +52,17 @@ FLAGS: dict[str, Flag] = {f.name: f for f in [
          "kernel pass produces the prior log-determinant and the "
          "posterior inverse factor + log-determinant; K_leaf never "
          "exists in HBM. '0' falls back to the two-kernel path."),
-    Flag("PYMRA_MATMUL", "high", ("highest", "high", "default"),
+    Flag("PYMRA_MATMUL", "highest", ("highest", "high", "default"),
          "MXU pass count for every matmul in the sweep: f32 matmuls are "
          "emulated on the bf16 systolic array in 6 ('highest'), 3 "
-         "('high') or 1 ('default') passes. 'high' is ~f32-quality and "
-         "the shipped default; 'highest' reproduces rounds 1-4; "
-         "'default' (single-pass bf16) NaNs deep conditional chains — "
-         "debugging only."),
+         "('high') or 1 ('default') passes. 'highest' is the default: "
+         "'high' measured fine at the N=1M bench (rel err 5e-6) but "
+         "produced a 4e-2 objective error on the N=10^4 config, whose "
+         "tiny measurement error (1e-4) conditions the posterior blocks "
+         "at ~1e4 and amplifies the 3-pass residual — caught by the "
+         "bench's TPU numerical anchor. 'default' (single-pass bf16) "
+         "NaNs deep conditional chains; both lower settings are for "
+         "A/B only."),
     Flag("PYMRA_PALLAS", "", ("", "force", "interpret"),
          "'force'/'interpret': route Pallas kernels through interpret "
          "mode on CPU so the test suite covers TPU-only sweep branches "
