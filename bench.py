@@ -267,8 +267,8 @@ def _bench_nuts(chains=8, warmup=100, samples=50, steps_per_call=40):
     }
 
 
-def _bench_nuts_1m(chains=2, warmup=40, samples=20, steps_per_call=6,
-                   side=1000, r=8):
+def _bench_nuts_1m(chains=2, warmup=25, samples=10, steps_per_call=5,
+                   side=1000, r=8, max_depth=4):
     """Gradient-based NUTS over the N=10^6 flagship likelihood — the
     headline capability against the reference's 0.25 evals/s Nelder-Mead
     at N=100 (pyMRA/README.md:96-105): every transition is a batch of
@@ -279,9 +279,10 @@ def _bench_nuts_1m(chains=2, warmup=40, samples=20, steps_per_call=6,
     posterior over the range parameter is a real object, not a boundary
     artifact. The run is CHUNKED (``steps_per_call``) because this
     platform's tunneled TPU kills single dispatches beyond ~1 minute;
-    chunking costs one host round-trip per ~6 transitions. max_depth=5
-    bounds a transition at 32 gradient evaluations (~4 s at the measured
-    ~0.12 s/gradient)."""
+    chunking costs one host round-trip per few transitions. max_depth=4
+    bounds a transition at 16 gradient evaluations (~2 s at the measured
+    ~0.12 s/gradient) — a throughput measurement, not a production
+    posterior run; raise warmup/samples/max_depth for real inference."""
     import jax
     import jax.numpy as jnp
 
@@ -315,14 +316,14 @@ def _bench_nuts_1m(chains=2, warmup=40, samples=20, steps_per_call=6,
                                   dtype=model.dtype)}
     t0 = time.time()
     res = nuts(logp, init, jax.random.key(0), num_warmup=warmup,
-               num_samples=samples, max_depth=5, init_step_size=0.1,
-               steps_per_call=steps_per_call)
+               num_samples=samples, max_depth=max_depth,
+               init_step_size=0.1, steps_per_call=steps_per_call)
     jax.block_until_ready(res.samples)
     first_s = time.time() - t0
     t0 = time.time()
     res = nuts(logp, init, jax.random.key(1), num_warmup=warmup,
-               num_samples=samples, max_depth=5, init_step_size=0.1,
-               steps_per_call=steps_per_call)
+               num_samples=samples, max_depth=max_depth,
+               init_step_size=0.1, steps_per_call=steps_per_call)
     jax.block_until_ready(res.samples)
     dt = time.time() - t0
     sps = chains * samples / (dt * samples / (warmup + samples))
