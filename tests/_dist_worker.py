@@ -41,13 +41,17 @@ from pymra_tpu.utils import gen_locations_2d
 mesh = make_multihost_mesh(ici_shape={"data": 2}, dcn_shape={"chain": nproc})
 assert mesh.axis_names == ("chain", "data")
 
-locs = gen_locations_2d(12)
+locs = gen_locations_2d(16)  # 256 locs, M=3: interiors (1, 4, 16)
 rng = np.random.default_rng(0)
 y = rng.standard_normal(len(locs))
 y[rng.random(len(locs)) > 0.7] = np.nan
 
-model = MRAModel(locs, r=2, M=2, J=4)
+model = MRAModel(locs, r=2, M=3, J=4)
 dplan = pad_plan_for_sharding(model.dplan, 2)
+# the 2-shard padded plan must shard interior level 2 (the TPU-native
+# critDepth) so the cross-process run covers the transition-window psum
+# and local interior aggregation, not just leaf sharding
+assert dplan.int_shard_from == 2, dplan.int_shard_from
 yj = jnp.asarray(y, model.dtype)
 r_diag = jnp.full((model.plan.n_locs,), 1e-2, dtype=model.dtype)
 lscales = jnp.asarray([0.3, 0.5], dtype=model.dtype)  # one per chain row
