@@ -42,8 +42,9 @@ def _kernel_cases():
     from pymra_tpu.ops.pallas import linalg as L
 
     # leaf widths of shipped configs + caps (see module docstring);
-    # 17 = the bundled N=10^4 dataset's leaf width
-    widths = (4, 8, 17, 28, 48, 64, 80)
+    # 17 = the bundled N=10^4 dataset's reference-shaped leaf width,
+    # 49 = its TPU-shaped (M=4) leaf width — the r5 headline config
+    widths = (4, 8, 17, 28, 48, 49, 64, 80)
     B = 2048  # enough for >1 lane chunk at every width; scratch is per-chunk
 
     def chained(fn, *args):
@@ -151,6 +152,7 @@ _CRITICAL = (
     # the shapes the flagship + headline configs actually hit, incl. the
     # exact (kernel, P) pair that broke round 3
     "leaf_factor[P=64]", "leaf_factor[P=28]", "leaf_factor[P=17]",
+    "leaf_factor[P=49]",
     "cholesky_inv_logdet[P=64]", "cholesky_logdet[P=64]",
     "cholesky_cascade_lanes[P=64]", "cholesky_jittered[P=64]",
     "cholesky_jittered[P=8]", "triangular_inverse_lower[P=64]",
