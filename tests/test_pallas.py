@@ -125,6 +125,38 @@ def test_cholesky_jittered_matches_reference_escalation():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_cholesky_jittered_exact_zero_pivot_escalates():
+    """An EXACTLY-zero pivot yields a -inf log-pivot sum with a NaN
+    factor (0/0 in the column scale) — the escalation must retry on any
+    non-finite accumulator, not just NaN (ADVICE r4: the pre-r5 any-NaN
+    test let -inf escape with a NaN factor). Engineered input: the
+    first-attempt jittered matrix is diag(1, ..., 1, 0)."""
+    from pymra_tpu.ops.pallas.linalg import cholesky_logdet
+
+    p, js = 6, jnp.float32(1e-4)
+    d = np.ones(p, dtype=np.float32)
+    d[-1] = -float(js)  # + factors[0]*js -> exactly 0
+    m = jnp.stack([jnp.diag(jnp.asarray(d)),
+                   jnp.eye(p, dtype=jnp.float32)])
+    jit = jnp.full((2,), js, dtype=jnp.float32)
+    got = cholesky_jittered(m, jit)
+    assert np.isfinite(np.asarray(got)).all(), (
+        "zero-pivot member escaped escalation with a non-finite factor"
+    )
+    # retry at 100x: last diagonal = -js + 100 js = 99 js
+    want_last = np.sqrt(99.0 * float(js))
+    np.testing.assert_allclose(float(got[0, p - 1, p - 1]), want_last,
+                               rtol=1e-4)
+    # the fused log-determinant kernel shares the escalation structure;
+    # at the 100x retry every pivot carries the 100*js jitter
+    ld = cholesky_logdet(m, jit)
+    assert np.isfinite(np.asarray(ld)).all()
+    want_ld = (p - 1) * 0.5 * np.log(1.0 + 100.0 * float(js)) + np.log(
+        want_last)
+    np.testing.assert_allclose(float(ld[0]), want_ld, rtol=1e-3,
+                               atol=1e-5)
+
+
 def test_cholesky_jittered_gradient():
     m = _spd(jax.random.key(8), 3, 4)
     jit = jnp.full((3,), 1e-5, dtype=jnp.float32)
